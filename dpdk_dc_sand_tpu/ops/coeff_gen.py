@@ -1,0 +1,124 @@
+"""Steering-coefficient generation on TPU.
+
+Replaces the reference's numba CUDA kernel
+(``beamformer/beamforming/coeff_generator.py:12-103``) and the native
+grouped-timestamps kernel (``BeamformerKernels.cu:121-189``). On TPU the
+whole computation is a broadcasted cos/sin over a rotation grid — a few
+VPU ops, trivially fused by XLA; no custom kernel is warranted (the
+reference burns four CUDA kernel variants on this).
+
+The delay polynomial is a *runtime input* so CAM updates at the
+256-accumulation cadence (BeamformerParameters.h:17) never recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_channels", "n_channels_per_stream", "xeng_id")
+)
+def steering_coeffs(
+    delay_vals: jax.Array,
+    *,
+    n_channels: int,
+    n_channels_per_stream: int,
+    sample_period: float | jax.Array = 1.0 / 1712e6,
+    xeng_id: int = 0,
+    t_s: float | jax.Array = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-(channel, beam, ant) steering weight (cos, sin) planes.
+
+    Rotation convention of coeff_generator.py:55-65 with the native
+    kernel's time extrapolation (BeamformerKernels.cu:153-166)::
+
+        delay(t) = delay_s + delay_rate·t
+        phase(t) = phase_rad + phase_rate·t
+        rot(c)   = −π·delay(t)·(c_abs − n_channels/2)/(n_channels·T_s)
+                 + phase(t)
+
+    Parameters
+    ----------
+    delay_vals:
+        ``[chan_per_stream][beam][ant][4]`` f32 (delay_s, delay_rate,
+        phase_rad, phase_rate) — the reference delay_vals layout
+        (coeff_generator.py:164-169).
+    t_s:
+        Scalar seconds past the polynomial epoch (may be a traced array).
+
+    Returns
+    -------
+    ``(cos, sin)`` each ``[chan_per_stream][beam][ant]`` float32.
+    """
+    dv = delay_vals.astype(jnp.float32)
+    t = jnp.asarray(t_s, jnp.float32)
+    delay = dv[..., 0] + dv[..., 1] * t
+    phase = dv[..., 2] + dv[..., 3] * t
+    chan = (
+        jnp.arange(n_channels_per_stream, dtype=jnp.float32)
+        + n_channels_per_stream * xeng_id
+    ).reshape(n_channels_per_stream, 1, 1)
+    slope = -jnp.pi * delay / (n_channels * sample_period)
+    rot = slope * (chan - n_channels / 2.0) + phase
+    return jnp.cos(rot), jnp.sin(rot)
+
+
+def steering_coeff_matrix(cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Expand (cos, sin) planes to 2×2 real rotation blocks.
+
+    ``[...][beam][ant]`` → ``[...][2·ant][2·beam]`` f32 with block
+    ``[[c, s], [−s, c]]`` at ``(2a, 2b)`` — the layout written by
+    coeff_generator.py:91-103 that turns complex beamforming into one real
+    matmul.
+    """
+    *lead, n_beams, n_ants = cos.shape
+    # [..., beam, ant, row(i), col(j)] with block rows stacked at -2.
+    m = jnp.stack(
+        [jnp.stack([cos, sin], -1), jnp.stack([-sin, cos], -1)], -2
+    )
+    # [..., beam, ant, i, j] -> [..., ant, i, beam, j] -> [..., 2A, 2B]
+    m = jnp.moveaxis(m, (-4, -3), (-2, -4))
+    return m.reshape(*lead, 2 * n_ants, 2 * n_beams)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_batches",
+        "n_pols",
+        "n_channels",
+        "n_channels_per_stream",
+        "xeng_id",
+    ),
+)
+def generate_coeff_matrix(
+    delay_vals: jax.Array,
+    *,
+    n_batches: int,
+    n_pols: int,
+    n_channels: int,
+    n_channels_per_stream: int,
+    sample_period: float = 1.0 / 1712e6,
+    xeng_id: int = 0,
+    t_s: float | jax.Array = 0.0,
+) -> jax.Array:
+    """Full reference-layout ``outCoeffs`` matrix.
+
+    ``[batch][pol][chan][2·ant][2·beam]`` f32, identical across batch/pol
+    exactly as the reference (neither index enters the math,
+    coeff_generator.py:55-65).
+    """
+    cos, sin = steering_coeffs(
+        delay_vals,
+        n_channels=n_channels,
+        n_channels_per_stream=n_channels_per_stream,
+        sample_period=sample_period,
+        xeng_id=xeng_id,
+        t_s=t_s,
+    )
+    m = steering_coeff_matrix(cos, sin)
+    return jnp.broadcast_to(m, (n_batches, n_pols) + m.shape)

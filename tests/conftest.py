@@ -15,12 +15,20 @@ Two jobs, mirroring the reference's test strategy (SURVEY.md §4):
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize imports jax at interpreter startup (before any
+# conftest code), so mutating JAX_PLATFORMS/JAX_PLATFORM_NAME here is too
+# late — jax's config already captured them. XLA_FLAGS however is read
+# lazily at CPU-backend init, and jax.config.update works any time before
+# first device use. Order matters: flags first, then the config update.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
