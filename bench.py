@@ -1,0 +1,116 @@
+"""North-star benchmark: Msamples/s/chip through the fused PFB+beamform.
+
+Runs the flagship F+B pipeline (80 antennas, 2 pols, 32k channels, 16
+beams, 16-tap PFB — the BASELINE.md target config) on the local
+accelerator and prints ONE JSON line.
+
+Methodology (this environment's relay adds ~2-3 ms fixed cost per dispatch
+and per loop iteration, and `block_until_ready` is unreliable through the
+tunnel — see .claude/skills/verify/SKILL.md):
+- the step is iterated inside a jitted ``fori_loop`` whose carry makes each
+  iteration data-dependent on the previous one (no reordering/elision);
+- a scalar is pulled at the end (forces completion);
+- per-iteration time is the *marginal* cost between a 2-iteration and a
+  6-iteration run of the same program, cancelling dispatch and setup.
+
+``vs_baseline`` is throughput divided by the MeerKAT L-band digitiser rate
+(1712 Msamples/s per antenna-pol, BeamformerParameters.h:16) — i.e. how
+many realtime antenna-pol streams one chip sustains through the full
+channelise+beamform chain.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+ADC_RATE_MSPS = 1712.0  # MeerKAT digitiser, Msamples/s per antenna-pol
+
+
+def build(cfg, n_spectra):
+    import jax
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.models import FBEngine
+
+    fb = FBEngine(cfg, n_spectra=n_spectra)
+    adc, cd, fd, ph, dv = fb.example_inputs(margin=16)
+    adc_d = jax.device_put(jnp.asarray(adc))
+    cd_d, fd_d = jnp.asarray(cd), jnp.asarray(fd)
+    ph_d, dv_d = jnp.asarray(ph), jnp.asarray(dv)
+
+    def chained(n_iters):
+        @jax.jit
+        def run(adc, fd):
+            def body(i, carry):
+                fd_c, acc = carry
+                out = fb._step(adc, cd_d, fd_c, ph_d, dv_d)
+                probe = out[0, 0, 0, 0, 0]
+                return (fd_c + probe * 1e-30, acc + probe)
+
+            return jax.lax.fori_loop(0, n_iters, body, (fd, jnp.float32(0)))[1]
+
+        return run
+
+    return chained, adc_d, fd_d
+
+
+def measure(cfg, n_spectra):
+    chained, adc_d, fd_d = build(cfg, n_spectra)
+    r2, r6 = chained(2), chained(6)
+    float(r2(adc_d, fd_d))  # compile
+    float(r6(adc_d, fd_d))  # compile
+    t2 = t6 = float("inf")
+    for _ in range(2):  # best-of to shed relay jitter
+        t0 = time.time()
+        float(r2(adc_d, fd_d))
+        t2 = min(t2, time.time() - t0)
+        t0 = time.time()
+        float(r6(adc_d, fd_d))
+        t6 = min(t6, time.time() - t0)
+    per_iter = max((t6 - t2) / 4, 1e-9)
+    samples = cfg.n_ants * cfg.n_pols * n_spectra * cfg.fft_size
+    return samples / per_iter / 1e6
+
+
+def main() -> None:
+    from dpdk_dc_sand_tpu.config import ArrayConfig
+
+    attempts = [
+        (ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16), 32),
+        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64),
+        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64),
+    ]
+    value, used = None, None
+    for cfg, n_spectra in attempts:
+        try:
+            value = measure(cfg, n_spectra)
+            used = (cfg, n_spectra)
+            break
+        except Exception as e:  # OOM / unsupported: fall back smaller
+            print(f"# bench config failed ({type(e).__name__}); falling back", flush=True)
+    if value is None:
+        raise SystemExit("all bench configs failed")
+    cfg, n_spectra = used
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "PFB+beamform pipeline throughput "
+                    f"({cfg.n_ants} ant x {cfg.n_channels} chan x "
+                    f"{cfg.n_beams} beams, 16-tap PFB)"
+                ),
+                "value": round(value, 1),
+                "unit": "Msamples/s/chip",
+                "vs_baseline": round(value / ADC_RATE_MSPS, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

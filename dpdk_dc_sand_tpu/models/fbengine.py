@@ -1,0 +1,161 @@
+"""Fused F+B pipeline — the flagship single-chip model.
+
+ADC streams → coarse delay → PFB channelise → fine delay → requantise →
+multi-beam beamform, all inside one ``jax.jit``. This is the full signal
+chain the reference prototypes sketch (SURVEY.md §1 data flow):
+the F-engine stage replaces katfgpu, the B-stage replaces the
+``beamform_op_sequence`` chain, and the corner turn between them is folded
+into the beamform matmul's operand layout by XLA (never materialised — the
+TPU answer to prebeamform_reorder_kernel.mako).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpdk_dc_sand_tpu.config import ArrayConfig
+from dpdk_dc_sand_tpu.golden.pfb import pfb_window
+from dpdk_dc_sand_tpu.ops.beamform import beamform
+from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeffs
+from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay, coarse_delay
+from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
+from dpdk_dc_sand_tpu.ops.requant import requantise
+
+
+class FBEngine:
+    """End-to-end F+B signal chain over the full band on one chip.
+
+    Parameters
+    ----------
+    cfg:
+        System configuration; the engine channelises and beamforms all
+        ``cfg.n_channels`` channels.
+    n_spectra:
+        Spectra produced per step (time samples per channel).
+    quant_scale:
+        F-engine output requantisation gain.
+    precision:
+        Beamform precision, ``"f32"`` or ``"bf16"``.
+    """
+
+    def __init__(
+        self,
+        cfg: ArrayConfig,
+        n_spectra: int = 256,
+        quant_scale: float = 1.0 / 16.0,
+        precision: str = "f32",
+        use_pallas: bool | None = None,
+    ) -> None:
+        self.cfg = cfg
+        self.n_spectra = n_spectra
+        self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
+        self._step = jax.jit(
+            functools.partial(
+                _fb_step,
+                window=self.window,
+                cfg=cfg,
+                n_spectra=n_spectra,
+                quant_scale=quant_scale,
+                precision=precision,
+                use_pallas=use_pallas,
+            )
+        )
+
+    @property
+    def samples_in(self) -> int:
+        return (self.n_spectra + self.cfg.n_taps - 1) * self.cfg.fft_size
+
+    def __call__(
+        self,
+        adc: jax.Array,
+        coarse_delays: jax.Array,
+        frac_delays: jax.Array,
+        phases: jax.Array,
+        delay_vals: jax.Array,
+    ) -> jax.Array:
+        """One pipeline step.
+
+        Parameters
+        ----------
+        adc:
+            ``[n_ants, n_pols, n_in]`` int8 with delay margin.
+        coarse_delays / frac_delays / phases:
+            ``[n_ants]`` per-antenna delay solution (F-engine side).
+        delay_vals:
+            ``[n_beams][n_ants][4]`` f32 steering polynomials (B-side), the
+            ``struct delay_vals`` contract (BeamformerParameters.h:61-66).
+
+        Returns
+        -------
+        ``[n_pols, n_channels, n_spectra, n_beams, 2]`` f32 beams.
+        """
+        return self._step(adc, coarse_delays, frac_delays, phases, delay_vals)
+
+    def example_inputs(self, seed: int = 2021, margin: int = 64):
+        rng = np.random.default_rng(seed)
+        cfg = self.cfg
+        adc = rng.integers(
+            -64, 64, size=(cfg.n_ants, cfg.n_pols, self.samples_in + margin),
+            dtype=np.int8,
+        )
+        cd = rng.integers(0, margin, size=cfg.n_ants).astype(np.int32)
+        fd = rng.uniform(-0.5, 0.5, cfg.n_ants).astype(np.float32)
+        ph = (-np.pi * fd / 2).astype(np.float32)
+        dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+        dv[..., 0] = rng.uniform(0, 5e-9, dv.shape[:-1])
+        dv[..., 2] = rng.uniform(-np.pi, np.pi, dv.shape[:-1])
+        return adc, cd, fd, ph, dv
+
+
+def _fb_step(
+    adc: jax.Array,
+    coarse_delays: jax.Array,
+    frac_delays: jax.Array,
+    phases: jax.Array,
+    delay_vals: jax.Array,
+    *,
+    window: jax.Array,
+    cfg: ArrayConfig,
+    n_spectra: int,
+    quant_scale: float,
+    precision: str,
+    use_pallas: bool | None,
+) -> jax.Array:
+    # ---- F-engine ----
+    out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
+    aligned = coarse_delay(adc, coarse_delays, out_len)
+    spectra = pfb_channelise(
+        aligned, window, n_channels=cfg.n_channels, use_pallas=use_pallas
+    )  # [A, P, S, C] complex64
+    re, im = apply_fine_delay(
+        jnp.real(spectra),
+        jnp.imag(spectra),
+        frac_delays[:, None],
+        phases[:, None],
+        n_channels=cfg.n_channels,
+    )
+    quant = requantise(jnp.stack([re, im], axis=-1), quant_scale)
+    # [A, P, S, C, 2] int8 — the inter-engine transport format.
+
+    # ---- corner turn (layout only; folded by XLA) ----
+    # [A, P, S, C, 2] -> [P, C, S, A, 2]
+    bdata = jnp.transpose(quant, (1, 3, 2, 0, 4))
+
+    # ---- B-engine ----
+    dv = jnp.broadcast_to(
+        delay_vals, (cfg.n_channels,) + tuple(delay_vals.shape)
+    )
+    cos, sin = steering_coeffs(
+        dv,
+        n_channels=cfg.n_channels,
+        n_channels_per_stream=cfg.n_channels,
+        sample_period=cfg.sample_period,
+        xeng_id=0,
+    )
+    beam_re, beam_im = beamform(bdata, cos, sin, precision)
+    # [P, C, S, B] each
+    return jnp.stack([beam_re, beam_im], axis=-1)

@@ -1,0 +1,208 @@
+"""Distributed F+B pipeline over a ("ant", "time") mesh via shard_map.
+
+The three reference parallelism mechanisms (SURVEY.md §2.7) become three
+XLA collectives inside one jitted step:
+
+1. **Overlap-save halo exchange** (time-block split of the sample stream,
+   the reference's BeamformerParameters.h:44-51 blocking): each time shard
+   receives the last ``(n_taps−1)·fft_size`` samples of its left neighbour
+   via ``lax.ppermute`` before the PFB FIR. The exchange is circular — in
+   steady-state streaming, shard 0's halo is the previous chunk's tail,
+   which lives on the last shard.
+2. **Distributed corner turn** (the xeng_id channel split,
+   coeff_generator.py:49-53): ``lax.all_to_all`` over the "time" axis
+   swaps spectra-sharding for channel-sharding — each device ends up with
+   all time samples of its channel slice, exactly what a multicast
+   subscription gave an X-engine in the reference.
+3. **Antenna-sum reduction** (the warp-shuffle tree,
+   BeamformerKernels.cu:318-341): antennas are sharded over "ant"; each
+   device beamforms its antenna subset and ``lax.psum`` over "ant"
+   completes the coherent sum across ICI.
+
+Coarse delay is an ingest-side concern (the host feed aligns whole-sample
+offsets before sharding, as the NIC/chunking layer did in the reference);
+fine delay and fringe phase are applied in-shard.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from dpdk_dc_sand_tpu.config import ArrayConfig
+from dpdk_dc_sand_tpu.golden.pfb import pfb_window
+from dpdk_dc_sand_tpu.ops.beamform import beamform
+from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay
+from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
+from dpdk_dc_sand_tpu.ops.requant import requantise
+
+
+class ShardedFBEngine:
+    """F+B pipeline sharded over a 2D ``("ant", "time")`` mesh.
+
+    Parameters
+    ----------
+    cfg:
+        System configuration. ``cfg.n_ants`` must divide by the "ant" axis
+        size; ``cfg.n_channels`` and ``n_spectra`` by the "time" axis size;
+        ``n_spectra // time_size ≥ cfg.n_taps − 1`` so one neighbour's halo
+        suffices.
+    mesh:
+        Mesh from :func:`dpdk_dc_sand_tpu.parallel.make_mesh`.
+    """
+
+    def __init__(
+        self,
+        cfg: ArrayConfig,
+        mesh: Mesh,
+        n_spectra: int = 256,
+        quant_scale: float = 1.0 / 16.0,
+        precision: str = "f32",
+        use_pallas: bool | None = None,
+    ) -> None:
+        ant_size = mesh.shape["ant"]
+        time_size = mesh.shape["time"]
+        if cfg.n_ants % ant_size:
+            raise ValueError("n_ants must divide the ant mesh axis")
+        if cfg.n_channels % time_size or n_spectra % time_size:
+            raise ValueError("n_channels and n_spectra must divide the time axis")
+        if n_spectra // time_size < cfg.n_taps - 1:
+            raise ValueError("time shards thinner than the FIR halo")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.n_spectra = n_spectra
+        self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
+
+        halo_len = (cfg.n_taps - 1) * cfg.fft_size
+        body = functools.partial(
+            _sharded_fb_body,
+            window=self.window,
+            cfg=cfg,
+            time_size=time_size,
+            halo_len=halo_len,
+            quant_scale=quant_scale,
+            precision=precision,
+            use_pallas=use_pallas,
+        )
+        sharded = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P("ant", None, "time"),  # adc [A, P, N]
+                P("ant"),  # frac_delays [A]
+                P("ant"),  # phases [A]
+                P("time", None, "ant"),  # cos [C, B, A]
+                P("time", None, "ant"),  # sin [C, B, A]
+            ),
+            out_specs=P(None, "time", None, None, None),
+            check_vma=False,
+        )
+
+        def step(adc, frac_delays, phases, delay_vals):
+            cos, sin = _full_band_coeffs(delay_vals, cfg)
+            return sharded(adc, frac_delays, phases, cos, sin)
+
+        self._step = jax.jit(step)
+        self.sample_sharding = NamedSharding(mesh, P("ant", None, "time"))
+        self.beam_sharding = NamedSharding(mesh, P(None, "time", None, None, None))
+
+    @property
+    def samples_in(self) -> int:
+        """Global ADC samples per step (history arrives via the halo)."""
+        return self.n_spectra * self.cfg.fft_size
+
+    def __call__(
+        self,
+        adc: jax.Array,
+        frac_delays: jax.Array,
+        phases: jax.Array,
+        delay_vals: jax.Array,
+    ) -> jax.Array:
+        """One distributed step.
+
+        adc ``[n_ants, n_pols, samples_in]`` int8 (coarse-aligned);
+        frac_delays/phases ``[n_ants]`` f32; delay_vals ``[beam][ant][4]``.
+        Returns ``[n_pols, n_channels, n_spectra, n_beams, 2]`` f32 beams,
+        channel-sharded over the "time" mesh axis.
+        """
+        return self._step(adc, frac_delays, phases, delay_vals)
+
+    def example_inputs(self, seed: int = 2021):
+        rng = np.random.default_rng(seed)
+        cfg = self.cfg
+        adc = rng.integers(
+            -64, 64, size=(cfg.n_ants, cfg.n_pols, self.samples_in), dtype=np.int8
+        )
+        fd = rng.uniform(-0.5, 0.5, cfg.n_ants).astype(np.float32)
+        ph = (-np.pi * fd / 2).astype(np.float32)
+        dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+        dv[..., 0] = rng.uniform(0, 5e-9, dv.shape[:-1])
+        dv[..., 2] = rng.uniform(-np.pi, np.pi, dv.shape[:-1])
+        return adc, fd, ph, dv
+
+
+def _full_band_coeffs(delay_vals: jax.Array, cfg: ArrayConfig):
+    """Steering (cos, sin) ``[C, B, A]`` for the full band.
+
+    Same rotation as ops.steering_coeffs with per-(beam, ant) polynomials
+    broadcast across channels; XLA shards this computation according to the
+    consumer's (shard_map) slicing, so no device materialises the full grid.
+    """
+    dv = delay_vals.astype(jnp.float32)
+    delay = dv[..., 0]  # [B, A]
+    phase = dv[..., 2]
+    chan = jnp.arange(cfg.n_channels, dtype=jnp.float32).reshape(-1, 1, 1)
+    slope = -jnp.pi * delay / (cfg.n_channels * cfg.sample_period)
+    rot = slope * (chan - cfg.n_channels / 2.0) + phase
+    return jnp.cos(rot), jnp.sin(rot)
+
+
+def _sharded_fb_body(
+    adc_l: jax.Array,  # [A_loc, P, n_loc]
+    frac_l: jax.Array,  # [A_loc]
+    phase_l: jax.Array,  # [A_loc]
+    cos_l: jax.Array,  # [C_loc, B, A_loc]
+    sin_l: jax.Array,
+    *,
+    window: jax.Array,
+    cfg: ArrayConfig,
+    time_size: int,
+    halo_len: int,
+    quant_scale: float,
+    precision: str,
+    use_pallas: bool | None,
+) -> jax.Array:
+    # 1. Overlap-save halo: previous time shard's tail (circular).
+    perm = [(i, (i + 1) % time_size) for i in range(time_size)]
+    halo = lax.ppermute(adc_l[..., -halo_len:], "time", perm)
+    ext = jnp.concatenate([halo, adc_l], axis=-1)
+
+    # 2. Local F-stage.
+    spectra = pfb_channelise(
+        ext, window, n_channels=cfg.n_channels, use_pallas=use_pallas
+    )  # [A_loc, P, S_loc, C]
+    re, im = apply_fine_delay(
+        jnp.real(spectra),
+        jnp.imag(spectra),
+        frac_l[:, None],
+        phase_l[:, None],
+        n_channels=cfg.n_channels,
+    )
+    quant = requantise(jnp.stack([re, im], axis=-1), quant_scale)
+
+    # 3. Distributed corner turn: spectra-sharding -> channel-sharding.
+    bdata = lax.all_to_all(quant, "time", split_axis=3, concat_axis=2, tiled=True)
+    # [A_loc, P, S_full, C_loc, 2] -> [P, C_loc, S_full, A_loc, 2]
+    bdata = jnp.transpose(bdata, (1, 3, 2, 0, 4))
+
+    # 4. Partial beamform over local antennas + psum over the ant axis.
+    pre, pim = beamform(bdata, cos_l, sin_l, precision)
+    pre = lax.psum(pre, "ant")
+    pim = lax.psum(pim, "ant")
+    return jnp.stack([pre, pim], axis=-1)

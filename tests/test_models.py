@@ -1,0 +1,137 @@
+"""Engine-model tests: the reference's fused op-sequence test pattern.
+
+``test_bengine_matches_golden_chain`` is the TPU analog of
+``beamform_op_sequence_test.py:37-200`` (random input through the fused
+chain vs the CPU golden chain at rtol=atol=1e-4); the F-engine and fused
+F+B tests add the physics checks the reference's BDD channelisation spec
+demands (peak centred, coherent gain).
+"""
+
+import numpy as np
+import pytest
+
+import tests.parameters as parameters
+from dpdk_dc_sand_tpu import golden
+from dpdk_dc_sand_tpu.config import ArrayConfig
+from dpdk_dc_sand_tpu.models import BeamformPipeline, FBEngine, FEngine
+
+RNG = np.random.default_rng(seed=2021)
+
+
+@pytest.mark.combinations(
+    "n_ants, n_channels, n_beams, n_batches",
+    parameters.array_size,
+    parameters.num_channels,
+    parameters.num_beams,
+    parameters.num_batches,
+)
+def test_bengine_matches_golden_chain(n_ants, n_channels, n_beams, n_batches):
+    cfg = ArrayConfig(
+        n_ants=n_ants, n_channels=n_channels, n_beams=n_beams, n_batches=n_batches
+    )
+    pipe = BeamformPipeline(cfg, xeng_id=1)
+    samples, dv = pipe.example_inputs()
+    got = np.asarray(pipe(samples, dv))
+
+    reordered = golden.reorder(samples)
+    coeffs = golden.steering_coeffs_matrix(
+        dv, cfg.n_batches, cfg.n_pols, cfg.n_channels, cfg.sample_period, 1
+    )
+    want = golden.beamform(reordered, coeffs)
+    assert got.shape == cfg.beam_shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+class TestFEngine:
+    cfg = ArrayConfig(n_ants=3, n_channels=128, n_taps=8)
+
+    def test_matches_golden_chain(self):
+        fe = FEngine(self.cfg, n_spectra=8, use_pallas=False)
+        adc, cd, fd, ph = fe.example_inputs()
+        got = np.asarray(fe(adc, cd, fd, ph))
+        assert got.shape == (3, 2, 8, 128, 2)
+
+        window = np.asarray(golden.pfb_window(self.cfg.n_taps, self.cfg.fft_size))
+        out_len = (8 + self.cfg.n_taps - 1) * self.cfg.fft_size
+        for a in range(3):
+            stream = golden.coarse_delay(adc[a], int(cd[a]))[..., :out_len]
+            spectra = golden.pfb_channelise(
+                stream.astype(np.float32), window
+            )  # [P, S, C]
+            corrected = golden.apply_fine_delay(
+                spectra, fd[a], ph[a], self.cfg.n_channels
+            )
+            want = golden.requantise(corrected, 1.0 / 16.0)
+            # Device f32 vs host f64 rounding: allow 1 LSB at bin edges.
+            diff = np.abs(
+                got[a].astype(np.int32) - want.astype(np.int32)
+            )
+            assert diff.max() <= 1
+            assert (diff > 0).mean() < 0.02
+
+    def test_tone_lands_in_channel(self):
+        fe = FEngine(self.cfg, n_spectra=8, quant_scale=1.0, use_pallas=False)
+        k = 37
+        n = np.arange(fe.samples_in + 64)
+        tone = 100 * np.cos(2 * np.pi * k * n / self.cfg.fft_size)
+        adc = np.broadcast_to(
+            tone.astype(np.int8), (3, 2, n.size)
+        ).copy()
+        zeros = np.zeros(3, np.float32)
+        out = np.asarray(fe(adc, np.zeros(3, np.int32), zeros, zeros))
+        power = (out[..., 0].astype(np.float64) ** 2 + out[..., 1] ** 2).astype(
+            np.float64
+        )
+        # [A, P, S, C] — peak channel per spectrum
+        assert (np.argmax(power, axis=-1) == k).all()
+
+
+class TestFBEngine:
+    cfg = ArrayConfig(n_ants=4, n_channels=128, n_beams=2, n_taps=8)
+
+    def test_matches_fengine_plus_golden_beamform(self):
+        fb = FBEngine(self.cfg, n_spectra=8, use_pallas=False)
+        adc, cd, fd, ph, dv = fb.example_inputs()
+        got = np.asarray(fb(adc, cd, fd, ph, dv))
+        assert got.shape == (2, 128, 8, 2, 2)
+
+        fe = FEngine(self.cfg, n_spectra=8, use_pallas=False)
+        quant = np.asarray(fe(adc, cd, fd, ph))  # [A, P, S, C, 2]
+        x = quant[..., 0].astype(np.float64) + 1j * quant[..., 1]
+        x = x.transpose(1, 3, 2, 0)  # [P, C, S, A]
+        dv_full = np.broadcast_to(
+            dv, (self.cfg.n_channels,) + dv.shape
+        )
+        w = golden.steering_coeffs_complex(
+            dv_full, self.cfg.n_channels, self.cfg.sample_period
+        )
+        want = golden.beamform_complex(x, w)  # [P, C, S, beam]
+        np.testing.assert_allclose(got[..., 0], want.real, rtol=1e-4, atol=2e-2)
+        np.testing.assert_allclose(got[..., 1], want.imag, rtol=1e-4, atol=2e-2)
+
+    def test_coherent_gain_on_aligned_tone(self):
+        """Steered beam on an aligned array shows n_ants² power gain."""
+        cfg = self.cfg
+        fb = FBEngine(cfg, n_spectra=8, quant_scale=1.0, use_pallas=False)
+        k = 40
+        n = np.arange(fb.samples_in + 8)
+        tone = (80 * np.cos(2 * np.pi * k * n / cfg.fft_size)).astype(np.int8)
+        adc = np.broadcast_to(tone, (cfg.n_ants, cfg.n_pols, n.size)).copy()
+        zeros_i = np.zeros(cfg.n_ants, np.int32)
+        zeros_f = np.zeros(cfg.n_ants, np.float32)
+        dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+        # beam 0 steered (zero phase); beam 1 scrambled
+        dv[1, :, 2] = np.linspace(0, np.pi, cfg.n_ants)
+        out = np.asarray(fb(adc, zeros_i, zeros_f, zeros_f, dv))
+        power = out[..., 0].astype(np.float64) ** 2 + out[..., 1] ** 2
+        p0 = power[0, k, 4, 0]
+        p1 = power[0, k, 4, 1]
+        # identical antennas, unit weights -> sum of n_ants equal vectors
+        single = p0 / cfg.n_ants**2
+        assert p0 > 0
+        assert p1 < 0.5 * p0
+        # cross-check coherent gain against one antenna's channelised power
+        fe = FEngine(cfg, n_spectra=8, quant_scale=1.0, use_pallas=False)
+        q = np.asarray(fe(adc, zeros_i, zeros_f, zeros_f))
+        p_single = float(q[0, 0, 4, k, 0]) ** 2 + float(q[0, 0, 4, k, 1]) ** 2
+        assert p0 == pytest.approx(cfg.n_ants**2 * p_single, rel=1e-3)
