@@ -1,0 +1,138 @@
+// SPEAD-lite heap codec — native packetize/reassemble hot path.
+//
+// The reference transmits pre-built SPEAD heaps of (timestamp, frequency,
+// payload) immediate items (fgpu_send_prototype.py:19-61) over UDP, with
+// payload sequence numbers for loss accounting (ibverbs_rx.c:303-319) and
+// an offline arange-pattern verifier (dpdk_send_recv/verify.py:20-33).
+// This implements the same contract with a fixed 40-byte little-endian
+// header per packet; Python holds the buffers, C++ does the byte work.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr std::uint32_t kMagic = 0x4B415430;  // "KAT0" as a LE u32
+constexpr std::size_t kHeaderBytes = 40;
+
+#pragma pack(push, 1)
+struct Header {
+  std::uint32_t magic;
+  std::uint32_t channel_offset;  // SPEAD frequency item analog
+  std::uint64_t heap_id;         // chunk sequence number
+  std::uint64_t timestamp;       // ADC sample count (SPEAD item 0x1600)
+  std::uint16_t packet_idx;
+  std::uint16_t n_packets;
+  std::uint32_t payload_len;     // bytes in this packet
+  std::uint32_t heap_len;        // total heap payload bytes
+  std::uint32_t reserved;
+};
+#pragma pack(pop)
+
+static_assert(sizeof(Header) == kHeaderBytes, "header size drift");
+
+}  // namespace
+
+extern "C" {
+
+std::uint64_t sp_header_bytes() { return kHeaderBytes; }
+
+// Split `payload[heap_len]` into packets of at most `mtu_payload` payload
+// bytes each, written consecutively at out + i*out_stride (header + slice).
+// Returns the packet count, or 0 on bad arguments.
+std::uint64_t sp_packetize(const std::uint8_t* payload, std::uint64_t heap_len,
+                           std::uint64_t heap_id, std::uint64_t timestamp,
+                           std::uint32_t channel_offset,
+                           std::uint64_t mtu_payload, std::uint8_t* out,
+                           std::uint64_t out_stride) {
+  if (!payload || !out || mtu_payload == 0 ||
+      out_stride < kHeaderBytes + mtu_payload)
+    return 0;
+  std::uint64_t n = (heap_len + mtu_payload - 1) / mtu_payload;
+  if (n == 0) n = 1;
+  if (n > 0xFFFF) return 0;
+  for (std::uint64_t i = 0; i < n; ++i) {
+    std::uint64_t off = i * mtu_payload;
+    std::uint64_t len = heap_len - off < mtu_payload ? heap_len - off
+                                                     : mtu_payload;
+    Header h;
+    h.magic = kMagic;
+    h.channel_offset = channel_offset;
+    h.heap_id = heap_id;
+    h.timestamp = timestamp;
+    h.packet_idx = static_cast<std::uint16_t>(i);
+    h.n_packets = static_cast<std::uint16_t>(n);
+    h.payload_len = static_cast<std::uint32_t>(len);
+    h.heap_len = static_cast<std::uint32_t>(heap_len);
+    h.reserved = 0;
+    std::uint8_t* dst = out + i * out_stride;
+    std::memcpy(dst, &h, kHeaderBytes);
+    std::memcpy(dst + kHeaderBytes, payload + off, len);
+  }
+  return n;
+}
+
+// Parse one packet header. Returns 1 on success (outputs filled), 0 if the
+// magic doesn't match or the buffer is too short.
+int sp_parse_header(const std::uint8_t* pkt, std::uint64_t pkt_len,
+                    std::uint64_t* heap_id, std::uint64_t* timestamp,
+                    std::uint32_t* channel_offset, std::uint16_t* packet_idx,
+                    std::uint16_t* n_packets, std::uint32_t* payload_len,
+                    std::uint32_t* heap_len) {
+  if (!pkt || pkt_len < kHeaderBytes) return 0;
+  Header h;
+  std::memcpy(&h, pkt, kHeaderBytes);
+  if (h.magic != kMagic) return 0;
+  if (pkt_len < kHeaderBytes + h.payload_len) return 0;
+  if (heap_id) *heap_id = h.heap_id;
+  if (timestamp) *timestamp = h.timestamp;
+  if (channel_offset) *channel_offset = h.channel_offset;
+  if (packet_idx) *packet_idx = h.packet_idx;
+  if (n_packets) *n_packets = h.n_packets;
+  if (payload_len) *payload_len = h.payload_len;
+  if (heap_len) *heap_len = h.heap_len;
+  return 1;
+}
+
+// Scatter one packet's payload into a heap assembly buffer laid out with
+// slot size mtu_payload. Returns the packet's payload length, or -1 on a
+// malformed packet / overflow.
+long long sp_scatter(const std::uint8_t* pkt, std::uint64_t pkt_len,
+                     std::uint64_t mtu_payload, std::uint8_t* heap_buf,
+                     std::uint64_t heap_cap) {
+  if (!pkt || pkt_len < kHeaderBytes) return -1;
+  Header h;
+  std::memcpy(&h, pkt, kHeaderBytes);
+  if (h.magic != kMagic) return -1;
+  std::uint64_t off = static_cast<std::uint64_t>(h.packet_idx) * mtu_payload;
+  if (off + h.payload_len > heap_cap) return -1;
+  if (pkt_len < kHeaderBytes + h.payload_len) return -1;
+  std::memcpy(heap_buf + off, pkt + kHeaderBytes, h.payload_len);
+  return static_cast<long long>(h.payload_len);
+}
+
+// ---------------------------------------------------------------------
+// Deterministic payload pattern (dpdk verify.py contract): 64-bit words,
+// word[i] = (chunk_id << 32) + i, except word[0] carries a packet counter.
+// ---------------------------------------------------------------------
+
+void sp_fill_pattern(std::uint64_t* words, std::uint64_t n_words,
+                     std::uint64_t chunk_id, std::uint64_t counter) {
+  if (!words) return;
+  const std::uint64_t base = chunk_id << 32;
+  for (std::uint64_t i = 0; i < n_words; ++i) words[i] = base + i;
+  if (n_words) words[0] = counter;
+}
+
+// Count mismatching words (ignoring word 0). Returns mismatch count.
+std::uint64_t sp_check_pattern(const std::uint64_t* words,
+                               std::uint64_t n_words, std::uint64_t chunk_id) {
+  if (!words) return n_words;
+  const std::uint64_t base = chunk_id << 32;
+  std::uint64_t bad = 0;
+  for (std::uint64_t i = 1; i < n_words; ++i)
+    if (words[i] != base + i) ++bad;
+  return bad;
+}
+
+}  // extern "C"

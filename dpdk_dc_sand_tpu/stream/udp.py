@@ -1,0 +1,162 @@
+"""UDP transport for SPEAD-lite heaps (kernel sockets).
+
+The reference's 100 GbE kernel-bypass planes (DPDK extbuf TX
+dpdk_send.cpp:252-315, rte_flow RX dpdk_recv.cpp:204-254, ibverbs raw QPs)
+are NIC-specific; the portable contract they implement is: multicast-able
+UDP datagrams carrying sequence-numbered heap fragments, receiver-side
+reassembly, drop accounting, per-second rate reports. This module provides
+that contract over ordinary sockets — the host-side stream plane between
+engines when a real network is present (within one host, use ChunkRing
+directly).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from dpdk_dc_sand_tpu.stream.chunk import Chunk
+from dpdk_dc_sand_tpu.stream.feed import RateReporter
+from dpdk_dc_sand_tpu.stream.ring import ChunkRing
+from dpdk_dc_sand_tpu.stream.spead import HEADER_BYTES, HeapAssembler, packetize
+
+
+def _is_multicast(addr: str) -> bool:
+    try:
+        first = int(addr.split(".")[0])
+    except ValueError:
+        return False
+    return 224 <= first <= 239
+
+
+class UdpSender:
+    """Packetize chunks and transmit as UDP datagrams.
+
+    Multicast destinations get TTL/loopback options set (the IGMP-join
+    counterpart of dpdk_recv.cpp:24-56 lives in :class:`UdpReceiver`).
+    """
+
+    def __init__(
+        self,
+        dest: Tuple[str, int],
+        mtu_payload: int = 4096,
+        reporter: Optional[RateReporter] = None,
+    ) -> None:
+        self.dest = dest
+        self.mtu_payload = mtu_payload
+        self.reporter = reporter
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        if _is_multicast(dest[0]):
+            self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, 1)
+            self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+        self.sent_packets = 0
+        self.sent_bytes = 0
+
+    def send_chunk(self, chunk: Chunk) -> None:
+        for pkt in packetize(
+            chunk.payload,
+            heap_id=chunk.seq,
+            timestamp=chunk.timestamp,
+            channel_offset=chunk.channel_offset,
+            mtu_payload=self.mtu_payload,
+        ):
+            self.sock.sendto(pkt, self.dest)
+            self.sent_packets += 1
+            self.sent_bytes += len(pkt)
+        if self.reporter is not None:
+            self.reporter.account(chunk.payload.nbytes)
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+class UdpReceiver:
+    """Receive datagrams, reassemble heaps, deliver chunks into a ring.
+
+    A background thread drains the socket (the RX burst loop analog); the
+    consumer reads completed chunks from ``ring`` with the usual
+    acquire/release discipline. Multicast groups are joined via
+    IP_ADD_MEMBERSHIP exactly as the reference must on a bifurcated driver
+    (dpdk_recv.cpp:24-56).
+    """
+
+    def __init__(
+        self,
+        bind: Tuple[str, int],
+        ring: ChunkRing,
+        mtu_payload: int = 4096,
+        group: Optional[str] = None,
+        reporter: Optional[RateReporter] = None,
+    ) -> None:
+        self.ring = ring
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        # Deep receive buffer: the kernel-socket stand-in for the
+        # reference's 2048-deep RX descriptor rings (ibverbs_rx.c:155-217);
+        # without it bursts overflow the default ~200 KiB rcvbuf.
+        try:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
+        except OSError:
+            pass
+        self.sock.bind(bind)
+        if group is not None and _is_multicast(group):
+            mreq = struct.pack(
+                "4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0")
+            )
+            self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+        self.sock.settimeout(0.05)
+        self.assembler = HeapAssembler(
+            mtu_payload=mtu_payload, on_chunk=self._deliver
+        )
+        self.reporter = reporter
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.sock.getsockname()[1]
+
+    def _deliver(self, chunk: Chunk) -> None:
+        meta = np.empty(2, np.uint64)
+        meta[0] = chunk.timestamp
+        meta[1] = chunk.channel_offset
+        payload = np.concatenate([meta.view(np.uint8), chunk.payload])
+        self.ring.put(payload, chunk.seq)
+        if self.reporter is not None:
+            self.reporter.account(chunk.payload.nbytes)
+
+    @staticmethod
+    def unpack(view: np.ndarray) -> Chunk:
+        """Recover the Chunk (metadata prefix + payload) from a ring slot."""
+        meta = view[:16].view(np.uint64)
+        return Chunk(
+            payload=view[16:],
+            seq=-1,  # ring carries the seq alongside the slot
+            timestamp=int(meta[0]),
+            channel_offset=int(meta[1]),
+        )
+
+    def start(self) -> "UdpReceiver":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                pkt = self.sock.recv(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            self.assembler.feed(pkt)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+        self.sock.close()
