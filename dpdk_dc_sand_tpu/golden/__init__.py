@@ -25,3 +25,4 @@ from dpdk_dc_sand_tpu.golden.delay import (  # noqa: F401
     apply_fine_delay,
 )
 from dpdk_dc_sand_tpu.golden.requant import requantise  # noqa: F401
+from dpdk_dc_sand_tpu.golden.correlate import correlate, correlate_planar  # noqa: F401

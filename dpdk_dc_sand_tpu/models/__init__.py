@@ -10,3 +10,4 @@ that never touch HBM.
 from dpdk_dc_sand_tpu.models.bengine import BeamformPipeline  # noqa: F401
 from dpdk_dc_sand_tpu.models.fengine import FEngine  # noqa: F401
 from dpdk_dc_sand_tpu.models.fbengine import FBEngine  # noqa: F401
+from dpdk_dc_sand_tpu.models.xengine import XEngine  # noqa: F401

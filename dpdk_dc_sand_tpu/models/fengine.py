@@ -48,10 +48,12 @@ class FEngine:
         n_spectra: int = 256,
         quant_scale: float = 1.0 / 16.0,
         use_pallas: bool | None = None,
+        quantise_output: bool = True,
     ) -> None:
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.quant_scale = quant_scale
+        self.quantise_output = quantise_output
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
         self._step = jax.jit(
             functools.partial(
@@ -61,6 +63,7 @@ class FEngine:
                 n_spectra=n_spectra,
                 quant_scale=quant_scale,
                 use_pallas=use_pallas,
+                quantise_output=quantise_output,
             )
         )
 
@@ -93,8 +96,11 @@ class FEngine:
 
         Returns
         -------
-        ``[n_ants, n_pols, n_spectra, n_channels, 2]`` int8 channelised,
-        delay-corrected, requantised (re, im) samples.
+        ``[n_ants, n_pols, n_spectra, n_channels, 2]`` channelised,
+        delay-corrected (re, im) samples — int8 (the transport format)
+        when ``quantise_output``, float32 otherwise (for qualification
+        measurements of the filter response, which int8 cannot express
+        below its ~-40 dB per-bin quantisation floor).
         """
         return self._step(adc, coarse_delays, frac_delays, phases)
 
@@ -123,6 +129,7 @@ def _fengine_step(
     n_spectra: int,
     quant_scale: float,
     use_pallas: bool | None,
+    quantise_output: bool = True,
 ) -> jax.Array:
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
     aligned = coarse_delay(adc, coarse_delays, out_len)
@@ -136,4 +143,7 @@ def _fengine_step(
         phases[:, None],
         n_channels=cfg.n_channels,
     )
-    return requantise(jnp.stack([re, im], axis=-1), quant_scale)
+    stacked = jnp.stack([re, im], axis=-1)
+    if not quantise_output:
+        return stacked * quant_scale
+    return requantise(stacked, quant_scale)

@@ -23,3 +23,4 @@ from dpdk_dc_sand_tpu.ops.delay import (  # noqa: F401
     apply_fine_delay,
 )
 from dpdk_dc_sand_tpu.ops.requant import requantise  # noqa: F401
+from dpdk_dc_sand_tpu.ops.correlate import correlate, correlate_accumulate  # noqa: F401

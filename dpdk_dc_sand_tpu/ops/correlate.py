@@ -1,0 +1,68 @@
+"""X-engine cross-correlation on the MXU.
+
+The ASTRON tensor-core correlator the reference points at
+(matrix_multiply.py:74-76, merge_gpu_repositories/do_merge.sh) computes
+per-channel visibility matrices on matrix hardware; on TPU this is a
+channel-batched rank-T update ``V[c] = X[c]ᵀ·conj(X[c])`` — two real
+``[A', T] @ [T, A']`` matmuls per complex component, int8 inputs upcast in
+the operand path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _gram(a: jax.Array, b: jax.Array, precision) -> jax.Array:
+    # a, b: [C, T, I] -> [C, I, I] contracting T
+    dims = (((1,), (1,)), ((0,), (0,)))
+    return lax.dot_general(
+        a, b, dimension_numbers=dims, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def correlate(
+    samples: jax.Array, precision: str = "f32"
+) -> tuple[jax.Array, jax.Array]:
+    """Accumulate visibilities for one time block.
+
+    Parameters
+    ----------
+    samples:
+        ``[chan, time, n_inputs, 2]`` (re, im) planar samples, any real
+        dtype (int8 straight from the F-engine transport is ideal).
+
+    Returns
+    -------
+    ``(V_re, V_im)`` each ``[chan, n_inputs, n_inputs]`` float32,
+    ``V[c,i,j] = Σ_t x_i·conj(x_j)``.
+    """
+    prec = None if precision == "bf16" else lax.Precision.HIGHEST
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    xr = samples[..., 0].astype(dt)
+    xi = samples[..., 1].astype(dt)
+    vre = _gram(xr, xr, prec) + _gram(xi, xi, prec)
+    vim = _gram(xi, xr, prec) - _gram(xr, xi, prec)
+    return vre, vim
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def correlate_accumulate(
+    samples: jax.Array,
+    acc_re: jax.Array,
+    acc_im: jax.Array,
+    precision: str = "f32",
+) -> tuple[jax.Array, jax.Array]:
+    """Running accumulation across time blocks (the reference's
+    ACCUMULATIONS_BEFORE_NEW_COEFFS-style integration window).
+
+    Donate ``acc_re``/``acc_im`` at the call site for in-place updates.
+    """
+    vre, vim = correlate(samples, precision)
+    return acc_re + vre, acc_im + vim
