@@ -1,0 +1,235 @@
+"""EngineNode: a complete DSP node — ingest, compute, egress, control.
+
+The vertical the reference prototypes point toward (SURVEY.md §1 data
+flow): a per-host engine that consumes sequence-numbered sample chunks
+(the SPEAD ingest contract), runs the fused F+B pipeline on the
+accelerator, emits beam chunks, and fronts it all with a KATCP-style
+control server whose sensors expose rates and drop counters — the
+reference's ``device-status`` health model (fake_node.py:29-30) with the
+transport loops' rate reporting (dpdk_recv.cpp:246-253) turned into
+sensors.
+
+Data path:  producer → ChunkRing → DeviceFeed → FBEngine step → on_beams
+Control:    ?delay-model / ?beam-weights / ?capture-start / ?capture-stop
+Sensors:    device-status, chunks-processed, chunks-lost, ingest-rate-gbps
+"""
+
+from __future__ import annotations
+
+import asyncio
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from dpdk_dc_sand_tpu.config import ArrayConfig
+from dpdk_dc_sand_tpu.control.protocol import DeviceServer, FailReply
+from dpdk_dc_sand_tpu.control.sensors import Sensor, Status
+from dpdk_dc_sand_tpu.models import FBEngine
+from dpdk_dc_sand_tpu.stream.feed import DeviceFeed
+from dpdk_dc_sand_tpu.stream.ring import ChunkRing
+
+
+class EngineNode(DeviceServer):
+    """One engine host: control server + streaming F+B pipeline.
+
+    Parameters
+    ----------
+    cfg:
+        System configuration for the on-node pipeline.
+    n_spectra:
+        Spectra per chunk/step.
+    margin:
+        Coarse-delay history samples carried per chunk.
+    on_beams:
+        ``callback(beams_ndarray, seq)`` for egress (UDP sender, file,
+        …). Called from the processing thread.
+    """
+
+    def __init__(
+        self,
+        cfg: ArrayConfig,
+        n_spectra: int = 32,
+        margin: int = 64,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        ring_slots: int = 8,
+        on_beams: Optional[Callable[[np.ndarray, int], None]] = None,
+        use_pallas: bool | None = None,
+    ) -> None:
+        super().__init__(host, port)
+        self.cfg = cfg
+        self.margin = margin
+        self.on_beams = on_beams or (lambda beams, seq: None)
+        self.fb = FBEngine(cfg, n_spectra=n_spectra, use_pallas=use_pallas)
+        self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
+        chunk_bytes = int(np.prod(self.chunk_shape))
+        self.ring = ChunkRing(ring_slots, chunk_bytes)
+        self.feed = DeviceFeed(
+            self.ring,
+            reshape=lambda b: b.view(np.int8).reshape(self.chunk_shape),
+        )
+
+        # Delay state (updated by CAM requests, read by the pipeline).
+        self._delay_lock = threading.Lock()
+        self._coarse = np.zeros(cfg.n_ants, np.int32)
+        self._frac = np.zeros(cfg.n_ants, np.float32)
+        self._phase = np.zeros(cfg.n_ants, np.float32)
+        self._delay_vals = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+        self._weights_scale = np.ones(cfg.n_ants, np.float32)
+
+        self._capturing = threading.Event()
+        self._capturing.set()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._bytes_window = 0
+        self._t_window = time.monotonic()
+
+        self.s_status = self.add_sensor(
+            Sensor("device-status", "engine health", "", "discrete", "ok",
+                   Status.NOMINAL)
+        )
+        self.s_processed = self.add_sensor(
+            Sensor("chunks-processed", "pipeline steps completed", "", "integer", 0)
+        )
+        self.s_lost = self.add_sensor(
+            Sensor("chunks-lost", "input sequence gaps", "", "integer", 0)
+        )
+        self.s_rate = self.add_sensor(
+            Sensor("ingest-rate-gbps", "input data rate", "Gbps", "float", 0.0)
+        )
+
+    # ------------------------------------------------------------------
+    # Lifecycle
+    # ------------------------------------------------------------------
+    async def start(self) -> None:
+        await super().start()
+        self._loop = asyncio.get_event_loop()
+        self.feed.start()
+        self._thread = threading.Thread(target=self._process_loop, daemon=True)
+        self._thread.start()
+
+    async def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.feed.stop()
+        self.ring.close()
+        await super().stop()
+
+    def _set_sensor(self, sensor: Sensor, value, status=Status.NOMINAL) -> None:
+        """Thread-safe sensor update (push informs go via the loop)."""
+        if self._loop is not None and self._loop.is_running():
+            self._loop.call_soon_threadsafe(sensor.set, value, status)
+        else:
+            sensor.set(value, status)
+
+    # ------------------------------------------------------------------
+    # Data plane
+    # ------------------------------------------------------------------
+    def submit_chunk(self, adc: np.ndarray, seq: int) -> bool:
+        """Producer entry: enqueue one ADC chunk (drop-counted when full)."""
+        return self.ring.put(adc, seq)
+
+    def _process_loop(self) -> None:
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            try:
+                arr, seq = self.feed.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if not self._capturing.is_set():
+                continue
+            with self._delay_lock:
+                cd = self._coarse.copy()
+                fd = self._frac.copy()
+                ph = self._phase.copy()
+                dv = self._delay_vals.copy()
+            try:
+                beams = self.fb(
+                    arr, jnp.asarray(cd), jnp.asarray(fd), jnp.asarray(ph),
+                    jnp.asarray(dv),
+                )
+                self.on_beams(np.asarray(beams), seq)
+            except Exception:  # noqa: BLE001 - node must stay up
+                self._set_sensor(self.s_status, "degraded", Status.ERROR)
+                continue
+            self._set_sensor(self.s_processed, int(self.s_processed.value) + 1)
+            if self.feed.stats.lost != int(self.s_lost.value):
+                self._set_sensor(self.s_lost, self.feed.stats.lost, Status.WARN)
+            self._bytes_window += int(np.prod(self.chunk_shape))
+            now = time.monotonic()
+            dt = now - self._t_window
+            if dt >= 1.0:
+                self._set_sensor(
+                    self.s_rate, round(self._bytes_window * 8 / dt / 1e9, 4)
+                )
+                self._bytes_window = 0
+                self._t_window = now
+
+    # ------------------------------------------------------------------
+    # Control plane
+    # ------------------------------------------------------------------
+    async def request_delay_model(self, conn, *args):
+        """Set per-antenna delay polynomials.
+
+        ``4·n_ants`` values: (delay_samples, frac_delay_samples, phase_rad,
+        phase_rate) per antenna — the F-engine-side delay solution.
+        """
+        if len(args) != 4 * self.cfg.n_ants:
+            raise FailReply(
+                f"expected {4 * self.cfg.n_ants} values, got {len(args)}"
+            )
+        try:
+            vals = np.asarray([float(a) for a in args], np.float64).reshape(
+                self.cfg.n_ants, 4
+            )
+        except ValueError as e:
+            raise FailReply(str(e)) from None
+        with self._delay_lock:
+            self._coarse = vals[:, 0].astype(np.int32)
+            self._frac = vals[:, 1].astype(np.float32)
+            self._phase = vals[:, 2].astype(np.float32)
+        return ()
+
+    async def request_beam_delays(self, conn, beam: str, *args):
+        """Set one beam's steering polynomials: ``beam, 4·n_ants`` values
+        (delay_s, delay_rate, phase, phase_rate per antenna — the CAM
+        ``struct delay_vals`` contract)."""
+        b = int(beam)
+        if not 0 <= b < self.cfg.n_beams:
+            raise FailReply(f"beam {b} out of range")
+        if len(args) != 4 * self.cfg.n_ants:
+            raise FailReply(f"expected {4 * self.cfg.n_ants} values")
+        vals = np.asarray([float(a) for a in args], np.float32).reshape(
+            self.cfg.n_ants, 4
+        )
+        with self._delay_lock:
+            self._delay_vals[b] = vals
+        return ()
+
+    async def request_beam_weights(self, conn, *weights):
+        """Per-antenna weight magnitudes (servlet fan-out target)."""
+        if len(weights) != self.cfg.n_ants:
+            raise FailReply(
+                f"expected {self.cfg.n_ants} weights, got {len(weights)}"
+            )
+        with self._delay_lock:
+            self._weights_scale = np.asarray(
+                [float(w) for w in weights], np.float32
+            )
+        return ()
+
+    async def request_capture_start(self, conn):
+        self._capturing.set()
+        self._set_sensor(self.s_status, "ok", Status.NOMINAL)
+        return ()
+
+    async def request_capture_stop(self, conn):
+        self._capturing.clear()
+        self._set_sensor(self.s_status, "idle", Status.NOMINAL)
+        return ()

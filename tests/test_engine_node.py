@@ -1,0 +1,154 @@
+"""EngineNode integration tests: ingest → pipeline → egress + control.
+
+The full vertical on one host: chunks pushed into the node's ring come out
+as beams; drop accounting and health surface as sensors over KATCP; delay
+updates via control requests change the pipeline output without
+recompiling.
+"""
+
+import asyncio
+import time
+
+import numpy as np
+import pytest
+
+from dpdk_dc_sand_tpu.config import ArrayConfig
+from dpdk_dc_sand_tpu.control import Client, FailReply
+from dpdk_dc_sand_tpu.engine_node import EngineNode
+
+CFG = ArrayConfig(n_ants=4, n_channels=128, n_beams=2, n_taps=4)
+
+
+def run(coro):
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(coro)
+    finally:
+        loop.close()
+
+
+async def wait_for(cond, timeout=20.0, interval=0.05):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if cond():
+            return True
+        await asyncio.sleep(interval)
+    return False
+
+
+def make_chunk(seq, node):
+    rng = np.random.default_rng(seq)
+    return rng.integers(-64, 64, size=node.chunk_shape, dtype=np.int8)
+
+
+def test_chunks_become_beams_and_sensors_update():
+    async def scenario():
+        beams_out = []
+        node = EngineNode(
+            CFG,
+            n_spectra=8,
+            on_beams=lambda b, seq: beams_out.append((seq, b)),
+            use_pallas=False,
+        )
+        await node.start()
+        client = await Client("127.0.0.1", node.port).connect()
+        try:
+            for seq in (0, 1, 3):  # gap at 2
+                assert node.submit_chunk(make_chunk(seq, node), seq)
+            ok = await wait_for(lambda: len(beams_out) == 3, timeout=60)
+            assert ok, f"only {len(beams_out)} beams produced"
+            seqs = [s for s, _ in beams_out]
+            assert seqs == [0, 1, 3]
+            b = beams_out[0][1]
+            assert b.shape == (2, 128, 8, 2, 2)
+            assert np.isfinite(b).all()
+            # sensors over the wire
+            _, informs = await client.request("sensor-value", "chunks-processed")
+            assert informs[0].args[4] == "3"
+            _, informs = await client.request("sensor-value", "chunks-lost")
+            assert informs[0].args[4] == "1"  # the gap at seq 2
+        finally:
+            await client.close()
+            await node.stop()
+
+    run(scenario())
+
+
+def test_delay_model_update_changes_output():
+    async def scenario():
+        beams_out = []
+        node = EngineNode(
+            CFG,
+            n_spectra=8,
+            on_beams=lambda b, seq: beams_out.append(b),
+            use_pallas=False,
+        )
+        await node.start()
+        client = await Client("127.0.0.1", node.port).connect()
+        try:
+            chunk = make_chunk(7, node)
+            node.submit_chunk(chunk, 0)
+            assert await wait_for(lambda: len(beams_out) == 1, timeout=60)
+
+            # set a beam-1 phase gradient via control and re-send same data
+            vals = []
+            for a in range(CFG.n_ants):
+                vals += [0.0, 0.0, a * 0.7, 0.0]
+            await client.request("beam-delays", 1, *vals)
+            node.submit_chunk(chunk, 1)
+            assert await wait_for(lambda: len(beams_out) == 2, timeout=60)
+
+            b0, b1 = beams_out
+            # beam 0 unchanged, beam 1 changed by the new steering phases
+            np.testing.assert_allclose(
+                b1[..., 0, :], b0[..., 0, :], rtol=1e-5, atol=1e-3
+            )
+            assert np.abs(b1[..., 1, :] - b0[..., 1, :]).max() > 1.0
+
+            with pytest.raises(FailReply):
+                await client.request("beam-delays", 99, *vals)
+            with pytest.raises(FailReply):
+                await client.request("delay-model", 1.0)
+        finally:
+            await client.close()
+            await node.stop()
+
+    run(scenario())
+
+
+def test_capture_stop_pauses_processing():
+    async def scenario():
+        beams_out = []
+        node = EngineNode(
+            CFG, n_spectra=8, on_beams=lambda b, s: beams_out.append(s),
+            use_pallas=False,
+        )
+        await node.start()
+        client = await Client("127.0.0.1", node.port).connect()
+        try:
+            await client.request("capture-stop")
+            node.submit_chunk(make_chunk(0, node), 0)
+            await asyncio.sleep(1.0)
+            n_stopped = len(beams_out)
+            await client.request("capture-start")
+            node.submit_chunk(make_chunk(1, node), 1)
+            assert await wait_for(lambda: len(beams_out) > n_stopped, timeout=60)
+        finally:
+            await client.close()
+            await node.stop()
+
+    run(scenario())
+
+
+def test_ring_overrun_counts_drops():
+    async def scenario():
+        node = EngineNode(CFG, n_spectra=8, ring_slots=2, use_pallas=False)
+        # do NOT start: ring fills with no consumer
+        data = make_chunk(0, node)
+        assert node.submit_chunk(data, 0)
+        assert node.submit_chunk(data, 1)
+        assert not node.submit_chunk(data, 2)  # full -> dropped
+        assert node.ring.stats()[2] == 1
+        node.ring.close()
+
+    run(scenario())
