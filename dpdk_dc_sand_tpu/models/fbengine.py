@@ -53,6 +53,9 @@ class FBEngine:
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
+        self._coeff_fn = jax.jit(functools.partial(_coeff_blocks, cfg=cfg))
+        self._coeff_blocks = None
+        self._coeff_key = None
         self._step = jax.jit(
             functools.partial(
                 _fb_step,
@@ -88,12 +91,35 @@ class FBEngine:
         delay_vals:
             ``[n_beams][n_ants][4]`` f32 steering polynomials (B-side), the
             ``struct delay_vals`` contract (BeamformerParameters.h:61-66).
+            Expanded to rotation blocks once and reused across steps (the
+            256-accumulation coefficient-reuse cadence) — call
+            :meth:`set_beam_delays` explicitly in streaming loops.
 
         Returns
         -------
         ``[n_pols, n_channels, n_spectra, n_beams, 2]`` f32 beams.
         """
-        return self._step(adc, coarse_delays, frac_delays, phases, delay_vals)
+        self.set_beam_delays(delay_vals)
+        return self._step(adc, coarse_delays, frac_delays, phases, self._coeff_blocks)
+
+    def set_beam_delays(self, delay_vals) -> None:
+        """(Re)generate steering rotation blocks from delay polynomials.
+
+        Cheap relative to a step but hoisted out of the hot loop:
+        (cos, sin) planes are ``[n_channels, B, A]`` f32 in HBM,
+        regenerated only when the polynomials change (identity-keyed
+        cache) — the 256-accumulation reuse cadence.
+        """
+        key = id(delay_vals)
+        if self._coeff_blocks is None or key != self._coeff_key:
+            self._coeff_blocks = self._coeff_fn(jnp.asarray(delay_vals))
+            self._coeff_key = key
+
+    def step(self, adc, coarse_delays, frac_delays, phases):
+        """Hot-loop step using the cached steering blocks."""
+        if self._coeff_blocks is None:
+            raise RuntimeError("call set_beam_delays() first")
+        return self._step(adc, coarse_delays, frac_delays, phases, self._coeff_blocks)
 
     def example_inputs(self, seed: int = 2021, margin: int = 64):
         rng = np.random.default_rng(seed)
@@ -111,12 +137,30 @@ class FBEngine:
         return adc, cd, fd, ph, dv
 
 
+def _coeff_blocks(delay_vals: jax.Array, *, cfg: ArrayConfig):
+    """delay polynomials [B, A, 4] -> steering (cos, sin) [C, B, A] f32.
+
+    (The materialised 2x2-block form + single folded dot lowers badly in
+    XLA for 32k tiny batched matmuls — measured ~1000x slower than the
+    planar 4-dot form on v5e; see benchmarks/beamform_variants.py.)"""
+    dv = jnp.broadcast_to(
+        delay_vals, (cfg.n_channels,) + tuple(delay_vals.shape)
+    )
+    return steering_coeffs(
+        dv,
+        n_channels=cfg.n_channels,
+        n_channels_per_stream=cfg.n_channels,
+        sample_period=cfg.sample_period,
+        xeng_id=0,
+    )
+
+
 def _fb_step(
     adc: jax.Array,
     coarse_delays: jax.Array,
     frac_delays: jax.Array,
     phases: jax.Array,
-    delay_vals: jax.Array,
+    coeff_blocks: jax.Array,
     *,
     window: jax.Array,
     cfg: ArrayConfig,
@@ -145,17 +189,7 @@ def _fb_step(
     # [A, P, S, C, 2] -> [P, C, S, A, 2]
     bdata = jnp.transpose(quant, (1, 3, 2, 0, 4))
 
-    # ---- B-engine ----
-    dv = jnp.broadcast_to(
-        delay_vals, (cfg.n_channels,) + tuple(delay_vals.shape)
-    )
-    cos, sin = steering_coeffs(
-        dv,
-        n_channels=cfg.n_channels,
-        n_channels_per_stream=cfg.n_channels,
-        sample_period=cfg.sample_period,
-        xeng_id=0,
-    )
+    # ---- B-engine: channel-batched planar matmuls with cached coeffs ----
+    cos, sin = coeff_blocks
     beam_re, beam_im = beamform(bdata, cos, sin, precision)
-    # [P, C, S, B] each
     return jnp.stack([beam_re, beam_im], axis=-1)

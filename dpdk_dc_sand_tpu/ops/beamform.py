@@ -138,3 +138,44 @@ def beamform(
     ri = cdot(xr, ws)
     ir = cdot(xi, wc)
     return rr - ii, ri + ir
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def beamform_folded(
+    samples: jax.Array, coeff_blocks: jax.Array, precision: str = "f32"
+) -> jax.Array:
+    """Single-pass beamform with the folded complex layout.
+
+    The planar form (:func:`beamform`) issues four real matmuls and reads
+    the sample block four times from HBM; at production sizes the op is
+    HBM-bound, so the reference's rotation-block trick
+    (complex_mult_kernel.py:30-43) is the faster layout on TPU too: fold
+    (re, im) into the contraction axis and contract once.
+
+    Parameters
+    ----------
+    samples:
+        ``[..., chan, time, ant, 2]`` (re, im) planar samples (int8 ideal).
+    coeff_blocks:
+        ``[chan, 2·ant, 2·beam]`` f32 rotation blocks from
+        :func:`steering_coeff_matrix` — generate once per delay update
+        (the 256-accumulation reuse cadence, BeamformerParameters.h:17),
+        not per step.
+
+    Returns
+    -------
+    ``[..., chan, time, beam, 2]`` float32 beams (re, im).
+    """
+    *lead, c, t, a, two = samples.shape
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    prec = None if precision == "bf16" else lax.Precision.HIGHEST
+    x = samples.reshape(*lead, c, t, a * two).astype(dt)
+    w = coeff_blocks.astype(dt)
+    x2 = jnp.moveaxis(x, -3, 0)  # [chan, ..., time, 2A]
+    dims = (((x2.ndim - 1,), (1,)), ((0,), (0,)))
+    out = lax.dot_general(
+        x2, w, dimension_numbers=dims, precision=prec,
+        preferred_element_type=jnp.float32,
+    )  # [chan, ..., time, 2B]
+    out = jnp.moveaxis(out, 0, -3)
+    return out.reshape(*lead, c, t, out.shape[-1] // 2, 2)
