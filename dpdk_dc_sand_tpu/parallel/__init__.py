@@ -14,3 +14,9 @@ blocks (BeamformerParameters.h:44-51). The TPU-native equivalents
 
 from dpdk_dc_sand_tpu.parallel.mesh import make_mesh, factor_devices  # noqa: F401
 from dpdk_dc_sand_tpu.parallel.fbengine_sharded import ShardedFBEngine  # noqa: F401
+from dpdk_dc_sand_tpu.parallel.ingest import (  # noqa: F401
+    assemble_global,
+    initialize_multihost,
+    scatter_local,
+    shard_indices,
+)

@@ -104,11 +104,17 @@ class ShardedFBEngine:
             check_vma=False,
         )
 
-        def step(adc, frac_delays, phases, delay_vals):
-            cos, sin = _full_band_coeffs(delay_vals, cfg)
-            return sharded(adc, frac_delays, phases, cos, sin)
-
-        self._step = jax.jit(step)
+        # Steering planes are regenerated only on delay updates (the
+        # 256-accumulation reuse cadence) and enter the step pre-sharded.
+        self._coeff_fn = jax.jit(
+            functools.partial(_full_band_coeffs, cfg=cfg),
+            out_shardings=(
+                NamedSharding(mesh, P("time", None, "ant")),
+            ) * 2,
+        )
+        self._coeffs = None
+        self._coeff_key = None
+        self._step = jax.jit(sharded)
         self.sample_sharding = NamedSharding(mesh, P("ant", None, "time"))
         self.beam_sharding = NamedSharding(mesh, P(None, "time", None, None, None))
 
@@ -131,7 +137,16 @@ class ShardedFBEngine:
         Returns ``[n_pols, n_channels, n_spectra, n_beams, 2]`` f32 beams,
         channel-sharded over the "time" mesh axis.
         """
-        return self._step(adc, frac_delays, phases, delay_vals)
+        self.set_beam_delays(delay_vals)
+        cos, sin = self._coeffs
+        return self._step(adc, frac_delays, phases, cos, sin)
+
+    def set_beam_delays(self, delay_vals) -> None:
+        """(Re)generate sharded steering planes from delay polynomials."""
+        key = id(delay_vals)
+        if self._coeffs is None or key != self._coeff_key:
+            self._coeffs = self._coeff_fn(jnp.asarray(delay_vals))
+            self._coeff_key = key
 
     def example_inputs(self, seed: int = 2021):
         rng = np.random.default_rng(seed)
@@ -147,7 +162,7 @@ class ShardedFBEngine:
         return adc, fd, ph, dv
 
 
-def _full_band_coeffs(delay_vals: jax.Array, cfg: ArrayConfig):
+def _full_band_coeffs(delay_vals: jax.Array, *, cfg: ArrayConfig):
     """Steering (cos, sin) ``[C, B, A]`` for the full band.
 
     Same rotation as ops.steering_coeffs with per-(beam, ant) polynomials

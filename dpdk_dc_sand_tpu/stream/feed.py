@@ -125,3 +125,32 @@ class DeviceFeed:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+
+
+class UdpBeamEgress:
+    """Beam-output egress: requantise-and-packetize onto a UDP sender.
+
+    The F/B-engine transmit side of the reference (beam output send, L4;
+    fgpu_send_prototype.py's double-buffered heap pattern): plug an
+    instance into :class:`~dpdk_dc_sand_tpu.engine_node.EngineNode` as
+    ``on_beams``. Beams are scaled to int8 transport format and shipped
+    as one SPEAD-lite heap per step with the step's ADC timestamp.
+    """
+
+    def __init__(self, sender, samples_per_chunk: int, scale: float = 0.25):
+        self.sender = sender
+        self.samples_per_chunk = samples_per_chunk
+        self.scale = scale
+
+    def __call__(self, beams: np.ndarray, seq: int) -> None:
+        from dpdk_dc_sand_tpu.golden.requant import requantise
+        from dpdk_dc_sand_tpu.stream.chunk import Chunk
+
+        payload = requantise(beams, self.scale).ravel()
+        self.sender.send_chunk(
+            Chunk(
+                payload.view(np.uint8),
+                seq=seq,
+                timestamp=seq * self.samples_per_chunk,
+            )
+        )

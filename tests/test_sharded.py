@@ -72,3 +72,49 @@ def test_output_sharding_is_channel_sharded():
     # channel axis (1) split over "time" (4 shards)
     shard_shapes = {s.data.shape for s in out.addressable_shards}
     assert shard_shapes == {(2, 128 // 4, 16, 4, 2)}
+
+
+# ----------------------------------------------------------------------
+# Distributed ingest (per-host shard assembly)
+# ----------------------------------------------------------------------
+def test_ingest_assembles_sharded_array():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dpdk_dc_sand_tpu.parallel import scatter_local, shard_indices
+
+    mesh = make_mesh(8, shape=(2, 4))
+    sharding = NamedSharding(mesh, P("ant", None, "time"))
+    data = np.arange(8 * 2 * 16, dtype=np.int8).reshape(8, 2, 16)
+    idx = shard_indices(sharding, data.shape)
+    assert len(idx) == 8
+    arr = scatter_local(data, sharding)
+    assert arr.shape == data.shape
+    assert arr.sharding == sharding
+    np.testing.assert_array_equal(np.asarray(arr), data)
+    # each device holds only its slice
+    shard_shapes = {s.data.shape for s in arr.addressable_shards}
+    assert shard_shapes == {(4, 2, 4)}
+
+
+def test_ingest_feeds_sharded_engine():
+    """Per-shard provider -> global array -> distributed step (the
+    production feed path, single-host edition)."""
+    from dpdk_dc_sand_tpu.parallel import assemble_global
+
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
+    eng = ShardedFBEngine(cfg, mesh, n_spectra=16)
+    adc, fd, ph, dv = eng.example_inputs()
+
+    calls = []
+
+    def provider(idx):
+        calls.append(idx)
+        return adc[idx]
+
+    global_adc = assemble_global(provider, eng.sample_sharding, adc.shape)
+    assert len(calls) == 8
+    out = eng(global_adc, fd, ph, dv)
+    want = np.asarray(eng(adc, fd, ph, dv))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-3)

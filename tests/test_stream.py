@@ -225,3 +225,24 @@ class TestRateReporter:
         rep.account(500)
         assert len(lines) == 1
         assert "Gbps" in lines[0]
+
+
+class TestUdpBeamEgress:
+    def test_beams_ship_as_int8_heaps(self):
+        from dpdk_dc_sand_tpu.stream.feed import UdpBeamEgress
+
+        sent = []
+
+        class FakeSender:
+            def send_chunk(self, chunk):
+                sent.append(chunk)
+
+        egress = UdpBeamEgress(FakeSender(), samples_per_chunk=4096, scale=0.5)
+        beams = RNG.normal(scale=100, size=(2, 8, 4, 2, 2)).astype(np.float32)
+        egress(beams, seq=3)
+        assert len(sent) == 1
+        chunk = sent[0]
+        assert chunk.seq == 3 and chunk.timestamp == 3 * 4096
+        got = chunk.payload.view(np.int8).reshape(beams.shape)
+        want = np.clip(np.rint(beams * 0.5), -127, 127).astype(np.int8)
+        np.testing.assert_array_equal(got, want)

@@ -1,0 +1,108 @@
+"""Op parity on the real TPU (small shapes, device-side reductions).
+
+Device→host pulls are limited to scalars/small arrays — large pulls take
+minutes through the relay (see .claude/skills/verify/SKILL.md).
+"""
+
+import numpy as np
+import pytest
+
+from dpdk_dc_sand_tpu import golden, ops
+from dpdk_dc_sand_tpu.config import ArrayConfig
+
+RNG = np.random.default_rng(seed=2021)
+CFG = ArrayConfig(n_ants=8, n_channels=256, n_beams=4)
+
+
+def max_err(device_arr, host_ref):
+    """|device − host| max computed ON DEVICE, one scalar pulled."""
+    import jax.numpy as jnp
+
+    return float(jnp.max(jnp.abs(device_arr - jnp.asarray(host_ref))))
+
+
+def test_reorder_exact_on_tpu():
+    samples = RNG.integers(-128, 127, size=CFG.ingest_shape, dtype=np.int8)
+    got = ops.prebeamform_reorder(samples)
+    assert max_err(got.astype("float32"), golden.reorder(samples).astype(np.float32)) == 0.0
+
+
+def test_coeffs_on_tpu():
+    dv = np.zeros(CFG.delay_vals_shape, np.float32)
+    dv[..., 0] = RNG.uniform(0, 5e-9, dv.shape[:-1])
+    dv[..., 2] = RNG.uniform(-np.pi, np.pi, dv.shape[:-1])
+    cos, sin = ops.steering_coeffs(
+        dv,
+        n_channels=CFG.n_channels,
+        n_channels_per_stream=CFG.n_channels_per_stream,
+        sample_period=CFG.sample_period,
+    )
+    w = golden.steering_coeffs_complex(dv, CFG.n_channels, CFG.sample_period)
+    assert max_err(cos, w.real.astype(np.float32)) < 1e-4
+    assert max_err(sin, w.imag.astype(np.float32)) < 1e-4
+
+
+def test_beamform_reference_tolerance_on_tpu():
+    samples = RNG.integers(-128, 127, size=CFG.ingest_shape, dtype=np.int8)
+    reordered = golden.reorder(samples)
+    dv = np.zeros(CFG.delay_vals_shape, np.float32)
+    dv[..., 0] = RNG.uniform(0, 5e-9, dv.shape[:-1])
+    dv[..., 2] = RNG.uniform(-np.pi, np.pi, dv.shape[:-1])
+    coeffs = golden.steering_coeffs_matrix(
+        dv, CFG.n_batches, CFG.n_pols, CFG.n_channels, CFG.sample_period
+    )
+    got = ops.beamform_matrix(reordered, coeffs)
+    want = golden.beamform(reordered, coeffs)
+    # reference tolerance rtol=atol=1e-4 scaled by magnitude
+    assert max_err(got, want) <= 1e-4 * max(1.0, np.abs(want).max())
+
+
+def test_pfb_pallas_kernel_on_tpu():
+    n_taps, fft = 8, 512
+    window = np.asarray(golden.pfb_window(n_taps, fft))
+    x = RNG.integers(-64, 64, size=(2, (16 + n_taps - 1) * fft), dtype=np.int8)
+    got = ops.pfb_fir(x, window, use_pallas=True)
+    want = golden.pfb_fir(x.astype(np.float32), window)
+    assert max_err(got, want) < 1e-3
+
+
+def test_fft_and_fine_delay_on_tpu():
+    n_taps, n_channels = 8, 128
+    window = np.asarray(golden.pfb_window(n_taps, 2 * n_channels))
+    k = 37
+    n = np.arange((8 + n_taps - 1) * 2 * n_channels)
+    x = (80 * np.cos(2 * np.pi * k * n / (2 * n_channels))).astype(np.float32)
+    got = ops.pfb_channelise(x, window)
+    import jax.numpy as jnp
+
+    power = jnp.abs(got[4]) ** 2
+    assert int(jnp.argmax(power)) == k
+
+
+def test_requantise_exact_on_tpu():
+    x = RNG.normal(scale=100, size=(256, 128)).astype(np.float32)
+    got = ops.requantise(x, 0.5)
+    want = golden.requantise(x, 0.5)
+    assert max_err(got.astype("float32"), want.astype(np.float32)) == 0.0
+
+
+def test_correlator_physics_on_tpu():
+    import jax.numpy as jnp
+
+    x = RNG.integers(-100, 100, size=(16, 64, 8, 2), dtype=np.int8)
+    vre, vim = ops.correlate(x)
+    assert float(jnp.abs(vre - jnp.swapaxes(vre, 1, 2)).max()) == 0.0
+    assert float(jnp.abs(vim + jnp.swapaxes(vim, 1, 2)).max()) == 0.0
+
+
+def test_fused_pipeline_runs_on_tpu():
+    from dpdk_dc_sand_tpu.models import FBEngine
+
+    cfg = ArrayConfig(n_ants=4, n_channels=256, n_beams=4, n_taps=8)
+    fb = FBEngine(cfg, n_spectra=16)
+    adc, cd, fd, ph, dv = fb.example_inputs()
+    out = fb(adc, cd, fd, ph, dv)
+    import jax.numpy as jnp
+
+    assert bool(jnp.isfinite(out).all())
+    assert out.shape == (2, 256, 16, 4, 2)
