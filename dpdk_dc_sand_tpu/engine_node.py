@@ -79,6 +79,8 @@ class EngineNode(DeviceServer):
         self._phase = np.zeros(cfg.n_ants, np.float32)
         self._delay_vals = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
         self._weights_scale = np.ones(cfg.n_ants, np.float32)
+        self._steer_version = 0  # bumped by beam-delays / beam-weights
+        self._applied_version = -1
 
         self._capturing = threading.Event()
         self._capturing.set()
@@ -149,10 +151,16 @@ class EngineNode(DeviceServer):
                 fd = self._frac.copy()
                 ph = self._phase.copy()
                 dv = self._delay_vals.copy()
+                weights = self._weights_scale.copy()
+                version = self._steer_version
             try:
-                beams = self.fb(
-                    arr, jnp.asarray(cd), jnp.asarray(fd), jnp.asarray(ph),
-                    jnp.asarray(dv),
+                if version != self._applied_version:
+                    # regenerate steering planes only on updates — the
+                    # coefficient-reuse cadence, not per chunk
+                    self.fb.set_beam_delays(dv, ant_weights=weights)
+                    self._applied_version = version
+                beams = self.fb.step(
+                    arr, jnp.asarray(cd), jnp.asarray(fd), jnp.asarray(ph)
                 )
                 self.on_beams(np.asarray(beams), seq)
             except Exception:  # noqa: BLE001 - node must stay up
@@ -210,6 +218,7 @@ class EngineNode(DeviceServer):
         )
         with self._delay_lock:
             self._delay_vals[b] = vals
+            self._steer_version += 1
         return ()
 
     async def request_beam_weights(self, conn, *weights):
@@ -222,6 +231,7 @@ class EngineNode(DeviceServer):
             self._weights_scale = np.asarray(
                 [float(w) for w in weights], np.float32
             )
+            self._steer_version += 1
         return ()
 
     async def request_capture_start(self, conn):

@@ -102,17 +102,26 @@ class FBEngine:
         self.set_beam_delays(delay_vals)
         return self._step(adc, coarse_delays, frac_delays, phases, self._coeff_blocks)
 
-    def set_beam_delays(self, delay_vals) -> None:
+    def set_beam_delays(self, delay_vals, ant_weights=None) -> None:
         """(Re)generate steering rotation blocks from delay polynomials.
 
         Cheap relative to a step but hoisted out of the hot loop:
         (cos, sin) planes are ``[n_channels, B, A]`` f32 in HBM,
         regenerated only when the polynomials change (identity-keyed
         cache) — the 256-accumulation reuse cadence.
+
+        ``ant_weights``: optional ``[n_ants]`` per-antenna magnitude
+        weights folded into the steering planes (the servlet's
+        ``?beam-weights`` contract, corr3_servlet.py:140-153).
         """
-        key = id(delay_vals)
+        key = (id(delay_vals), id(ant_weights))
         if self._coeff_blocks is None or key != self._coeff_key:
-            self._coeff_blocks = self._coeff_fn(jnp.asarray(delay_vals))
+            w = (
+                jnp.ones(self.cfg.n_ants, jnp.float32)
+                if ant_weights is None
+                else jnp.asarray(ant_weights, jnp.float32)
+            )
+            self._coeff_blocks = self._coeff_fn(jnp.asarray(delay_vals), w)
             self._coeff_key = key
 
     def step(self, adc, coarse_delays, frac_delays, phases):
@@ -137,7 +146,7 @@ class FBEngine:
         return adc, cd, fd, ph, dv
 
 
-def _coeff_blocks(delay_vals: jax.Array, *, cfg: ArrayConfig):
+def _coeff_blocks(delay_vals: jax.Array, ant_weights: jax.Array, *, cfg: ArrayConfig):
     """delay polynomials [B, A, 4] -> steering (cos, sin) [C, B, A] f32.
 
     (The materialised 2x2-block form + single folded dot lowers badly in
@@ -146,13 +155,14 @@ def _coeff_blocks(delay_vals: jax.Array, *, cfg: ArrayConfig):
     dv = jnp.broadcast_to(
         delay_vals, (cfg.n_channels,) + tuple(delay_vals.shape)
     )
-    return steering_coeffs(
+    cos, sin = steering_coeffs(
         dv,
         n_channels=cfg.n_channels,
         n_channels_per_stream=cfg.n_channels,
         sample_period=cfg.sample_period,
         xeng_id=0,
     )
+    return cos * ant_weights, sin * ant_weights
 
 
 def _fb_step(

@@ -152,3 +152,32 @@ def test_ring_overrun_counts_drops():
         node.ring.close()
 
     run(scenario())
+
+
+def test_beam_weights_scale_output():
+    """?beam-weights scales antennas into the steering planes."""
+
+    async def scenario():
+        beams_out = []
+        node = EngineNode(
+            CFG, n_spectra=8, on_beams=lambda b, s: beams_out.append(b),
+            use_pallas=False,
+        )
+        await node.start()
+        client = await Client("127.0.0.1", node.port).connect()
+        try:
+            chunk = make_chunk(5, node)
+            node.submit_chunk(chunk, 0)
+            assert await wait_for(lambda: len(beams_out) == 1, timeout=60)
+            # halve every antenna weight -> beams halve exactly
+            await client.request("beam-weights", *([0.5] * CFG.n_ants))
+            node.submit_chunk(chunk, 1)
+            assert await wait_for(lambda: len(beams_out) == 2, timeout=60)
+            np.testing.assert_allclose(
+                beams_out[1], 0.5 * beams_out[0], rtol=1e-4, atol=1e-3
+            )
+        finally:
+            await client.close()
+            await node.stop()
+
+    run(scenario())
