@@ -247,6 +247,50 @@ class DeviceServer:
         """Liveness ping."""
         return ()
 
+    async def request_help(self, conn, name: str = ""):
+        """List requests (or one request's doc) as informs."""
+        handlers = sorted(
+            m[len("request_"):].replace("_", "-")
+            for m in dir(self)
+            if m.startswith("request_") and callable(getattr(self, m))
+        )
+        if name:
+            if name not in handlers:
+                raise FailReply(f"unknown request {name}")
+            handlers = [name]
+        for h in handlers:
+            doc = (
+                getattr(self, "request_" + h.replace("-", "_")).__doc__
+                or ""
+            ).strip().splitlines()
+            self._send(
+                conn,
+                Message(
+                    Message.INFORM,
+                    "help",
+                    h,
+                    doc[0] if doc else "",
+                    mid=conn.req_mid,
+                ),
+            )
+        return (str(len(handlers)),)
+
+    async def request_version_list(self, conn):
+        """Report component versions as informs."""
+        from dpdk_dc_sand_tpu import __version__
+
+        versions = [
+            ("dpdk-dc-sand-tpu", __version__),
+            ("katcp-protocol", "5.0-subset"),
+        ]
+        for name, ver in versions:
+            self._send(
+                conn,
+                Message(Message.INFORM, "version-list", name, ver,
+                        mid=conn.req_mid),
+            )
+        return (str(len(versions)),)
+
     async def request_sensor_list(self, conn, *names):
         """List sensors as informs, reply with the count."""
         sensors = [s for s in self.sensors if not names or s.name in names]

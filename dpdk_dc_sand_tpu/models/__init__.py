@@ -11,3 +11,4 @@ from dpdk_dc_sand_tpu.models.bengine import BeamformPipeline  # noqa: F401
 from dpdk_dc_sand_tpu.models.fengine import FEngine  # noqa: F401
 from dpdk_dc_sand_tpu.models.fbengine import FBEngine  # noqa: F401
 from dpdk_dc_sand_tpu.models.xengine import XEngine  # noqa: F401
+from dpdk_dc_sand_tpu.models.fxbengine import FXBEngine  # noqa: F401

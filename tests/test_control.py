@@ -227,3 +227,23 @@ def test_interface_changed_broadcast(loop):
         await teardown(nodes, servlet, client)
 
     run(loop, scenario())
+
+
+def test_help_and_version_list(loop):
+    async def scenario():
+        srv = EchoServer()
+        await srv.start()
+        client = await Client("127.0.0.1", srv.port).connect()
+        args, informs = await client.request("help")
+        names = [m.args[0] for m in informs]
+        assert "echo" in names and "sensor-list" in names and "help" in names
+        args, informs = await client.request("help", "watchdog")
+        assert informs[0].args[1].startswith("Liveness")
+        with pytest.raises(FailReply):
+            await client.request("help", "nope")
+        args, informs = await client.request("version-list")
+        assert any(m.args[0] == "dpdk-dc-sand-tpu" for m in informs)
+        await client.close()
+        await srv.stop()
+
+    run(loop, scenario())

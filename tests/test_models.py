@@ -135,3 +135,31 @@ class TestFBEngine:
         q = np.asarray(fe(adc, zeros_i, zeros_f, zeros_f))
         p_single = float(q[0, 0, 4, k, 0]) ** 2 + float(q[0, 0, 4, k, 1]) ** 2
         assert p0 == pytest.approx(cfg.n_ants**2 * p_single, rel=1e-3)
+
+
+class TestFXBEngine:
+    def test_beams_and_visibilities_consistent(self):
+        """FXB ≡ FBEngine beams + XEngine-style correlation of the same
+        F-stage output."""
+        from dpdk_dc_sand_tpu.models import FXBEngine
+
+        cfg = ArrayConfig(n_ants=3, n_channels=128, n_beams=2, n_taps=4)
+        fxb = FXBEngine(cfg, n_spectra=8, use_pallas=False)
+        adc, cd, fd, ph, dv = fxb.example_inputs()
+        beams, vre, vim = fxb(adc, cd, fd, ph, dv)
+        beams = np.asarray(beams)
+        assert beams.shape == (2, 128, 8, 2, 2)
+        assert np.asarray(vre).shape == (128, 6, 6)
+
+        # beams match the FB engine on identical inputs
+        fb = FBEngine(cfg, n_spectra=8, use_pallas=False)
+        want_beams = np.asarray(fb(adc, cd, fd, ph, dv))
+        np.testing.assert_allclose(beams, want_beams, rtol=1e-5, atol=1e-3)
+
+        # visibilities match golden correlation of the F-stage output
+        fe = FEngine(cfg, n_spectra=8, use_pallas=False)
+        quant = np.asarray(fe(adc, cd, fd, ph))  # [A, P, S, C, 2]
+        x = quant.transpose(3, 2, 0, 1, 4).reshape(128, 8, 6, 2)
+        want_re, want_im = golden.correlate_planar(x[..., 0], x[..., 1])
+        np.testing.assert_allclose(np.asarray(vre), want_re, rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(vim), want_im, rtol=1e-4, atol=1e-2)
