@@ -38,6 +38,7 @@ from jax import shard_map
 from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
 from dpdk_dc_sand_tpu.ops.beamform import beamform
+from dpdk_dc_sand_tpu.ops.correlate import correlate
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay
 from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
 from dpdk_dc_sand_tpu.ops.requant import requantise
@@ -65,6 +66,7 @@ class ShardedFBEngine:
         quant_scale: float = 1.0 / 16.0,
         precision: str = "f32",
         use_pallas: bool | None = None,
+        emit_visibilities: bool = False,
     ) -> None:
         ant_size = mesh.shape["ant"]
         time_size = mesh.shape["time"]
@@ -77,6 +79,7 @@ class ShardedFBEngine:
         self.cfg = cfg
         self.mesh = mesh
         self.n_spectra = n_spectra
+        self.emit_visibilities = emit_visibilities
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
 
         halo_len = (cfg.n_taps - 1) * cfg.fft_size
@@ -89,6 +92,13 @@ class ShardedFBEngine:
             quant_scale=quant_scale,
             precision=precision,
             use_pallas=use_pallas,
+            emit_visibilities=emit_visibilities,
+        )
+        beam_out = P(None, "time", None, None, None)
+        out_specs = (
+            (beam_out, P("time", None, None), P("time", None, None))
+            if emit_visibilities
+            else beam_out
         )
         sharded = shard_map(
             body,
@@ -100,7 +110,7 @@ class ShardedFBEngine:
                 P("time", None, "ant"),  # cos [C, B, A]
                 P("time", None, "ant"),  # sin [C, B, A]
             ),
-            out_specs=P(None, "time", None, None, None),
+            out_specs=out_specs,
             check_vma=False,
         )
 
@@ -192,6 +202,7 @@ def _sharded_fb_body(
     quant_scale: float,
     precision: str,
     use_pallas: bool | None,
+    emit_visibilities: bool = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -220,4 +231,18 @@ def _sharded_fb_body(
     pre, pim = beamform(bdata, cos_l, sin_l, precision)
     pre = lax.psum(pre, "ant")
     pim = lax.psum(pim, "ant")
-    return jnp.stack([pre, pim], axis=-1)
+    beams = jnp.stack([pre, pim], axis=-1)
+    if not emit_visibilities:
+        return beams
+
+    # 5. X stage: correlation needs all antenna pairs, so gather the
+    # channel slice's voltages across the "ant" axis (the unavoidable
+    # all-pairs traffic), then integrate the local channels.
+    # bdata [P, C_loc, S_full, A_loc, 2] -> gather A
+    full = lax.all_gather(bdata, "ant", axis=3, tiled=True)
+    p, c_loc, s_full, a_full, _ = full.shape
+    xdata = jnp.transpose(full, (1, 2, 3, 0, 4)).reshape(
+        c_loc, s_full, a_full * p, 2
+    )
+    vre, vim = correlate(xdata, precision)
+    return beams, vre, vim

@@ -118,3 +118,32 @@ def test_ingest_feeds_sharded_engine():
     out = eng(global_adc, fd, ph, dv)
     want = np.asarray(eng(adc, fd, ph, dv))
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-3)
+
+
+def test_sharded_visibilities_match_golden():
+    """emit_visibilities: all_gather over the ant axis + local correlation
+    equals golden correlation of the single-device F-stage output."""
+    from dpdk_dc_sand_tpu import golden
+    from dpdk_dc_sand_tpu.models import FEngine
+
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
+    eng = ShardedFBEngine(cfg, mesh, n_spectra=16, emit_visibilities=True)
+    adc, fd, ph, dv = eng.example_inputs()
+    beams, vre, vim = eng(adc, fd, ph, dv)
+    assert np.asarray(vre).shape == (128, 16, 16)
+
+    # single-device reference: same circular-halo F stage, then correlate
+    halo = (cfg.n_taps - 1) * cfg.fft_size
+    adc_ext = np.concatenate([adc[..., -halo:], adc], axis=-1)
+    fe = FEngine(cfg, n_spectra=16, use_pallas=False)
+    quant = np.asarray(
+        fe(adc_ext, np.zeros(cfg.n_ants, np.int32), fd, ph)
+    )  # [A, P, S, C, 2]
+    # engine x-layout: [C, S, A·P, 2] with (ant-major, pol-minor) inputs
+    x = quant.transpose(3, 2, 0, 1, 4).reshape(128, 16, 16, 2)
+    want_re, want_im = golden.correlate_planar(x[..., 0], x[..., 1])
+    np.testing.assert_allclose(np.asarray(vre), want_re, rtol=1e-4, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(vim), want_im, rtol=1e-4, atol=2e-2)
+    # channel-sharded over the time axis
+    assert {s.data.shape for s in vre.addressable_shards} == {(32, 16, 16)}
