@@ -66,7 +66,9 @@ class EngineNode(DeviceServer):
         self.fb = FBEngine(cfg, n_spectra=n_spectra, use_pallas=use_pallas)
         self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
         chunk_bytes = int(np.prod(self.chunk_shape))
-        self.ring = ChunkRing(ring_slots, chunk_bytes)
+        # +16 headroom for the UDP receiver's timestamp/channel metadata
+        # prefix (UdpReceiver._deliver) when ingest is attached over UDP.
+        self.ring = ChunkRing(ring_slots, chunk_bytes + 16)
         self.feed = DeviceFeed(
             self.ring,
             reshape=lambda b: b.view(np.int8).reshape(self.chunk_shape),
@@ -118,6 +120,10 @@ class EngineNode(DeviceServer):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
+        if getattr(self, "_udp_rx", None) is not None:
+            self._udp_rx.stop()
+        if getattr(self, "_udp_tx", None) is not None:
+            self._udp_tx.close()
         self.feed.stop()
         self.ring.close()
         await super().stop()
@@ -132,6 +138,39 @@ class EngineNode(DeviceServer):
     # ------------------------------------------------------------------
     # Data plane
     # ------------------------------------------------------------------
+    def attach_udp_ingest(self, bind=("127.0.0.1", 0), group=None):
+        """Receive ADC chunks as SPEAD-lite heaps over UDP into the ring.
+
+        Returns the :class:`~dpdk_dc_sand_tpu.stream.udp.UdpReceiver`
+        (its ``.port`` is the bound port). Heap payloads must be the
+        node's chunk_shape int8 bytes; heap ids become chunk sequence
+        numbers. The receiver's ring-slot metadata prefix is stripped by
+        the feed reshape, so ingest wiring replaces the default reshape.
+        """
+        from dpdk_dc_sand_tpu.stream.udp import UdpReceiver
+
+        payload_bytes = int(np.prod(self.chunk_shape))
+        self.feed.reshape = (
+            lambda b: b[16 : 16 + payload_bytes]
+            .view(np.int8)
+            .reshape(self.chunk_shape)
+        )
+        self._udp_rx = UdpReceiver(bind, self.ring, group=group).start()
+        return self._udp_rx
+
+    def attach_udp_egress(self, dest, scale: float = 0.25):
+        """Transmit beams as int8 SPEAD-lite heaps over UDP.
+
+        Returns the sender; replaces ``on_beams``.
+        """
+        from dpdk_dc_sand_tpu.stream.feed import UdpBeamEgress
+        from dpdk_dc_sand_tpu.stream.udp import UdpSender
+
+        self._udp_tx = UdpSender(dest)
+        samples_per_chunk = self.fb.n_spectra * self.cfg.fft_size
+        self.on_beams = UdpBeamEgress(self._udp_tx, samples_per_chunk, scale)
+        return self._udp_tx
+
     def submit_chunk(self, adc: np.ndarray, seq: int) -> bool:
         """Producer entry: enqueue one ADC chunk (drop-counted when full)."""
         return self.ring.put(adc, seq)

@@ -181,3 +181,46 @@ def test_beam_weights_scale_output():
             await node.stop()
 
     run(scenario())
+
+
+def test_udp_ingest_to_udp_egress_end_to_end():
+    """ADC heaps in over UDP -> pipeline -> beam heaps out over UDP."""
+    from dpdk_dc_sand_tpu.stream import Chunk, ChunkRing, UdpReceiver, UdpSender
+    from dpdk_dc_sand_tpu.stream.spead import HeapAssembler
+
+    async def scenario():
+        node = EngineNode(CFG, n_spectra=8, use_pallas=False)
+        rx = node.attach_udp_ingest()
+        # beam capture: a receiver on the egress side
+        beam_ring = ChunkRing(8, 2 * 128 * 8 * 2 * 2 + 64)
+        beam_rx = UdpReceiver(("127.0.0.1", 0), beam_ring).start()
+        node.attach_udp_egress(("127.0.0.1", beam_rx.port))
+        await node.start()
+        tx = UdpSender(("127.0.0.1", rx.port))
+        try:
+            for seq in range(3):
+                adc = make_chunk(seq, node)
+                tx.send_chunk(Chunk(adc.reshape(-1).view(np.uint8), seq=seq))
+            got = []
+            deadline = time.monotonic() + 60
+            while len(got) < 3 and time.monotonic() < deadline:
+                item = beam_ring.acquire_read()
+                if item is None:
+                    await asyncio.sleep(0.05)
+                    continue
+                view, seq = item
+                payload = UdpReceiver.unpack(view).payload
+                beams = np.ascontiguousarray(payload).view(np.int8).reshape(
+                    2, 128, 8, 2, 2
+                )
+                got.append((seq, beams))
+                beam_ring.release_read()
+            assert [s for s, _ in got] == [0, 1, 2]
+            assert all(np.isfinite(b).all() and b.any() for _, b in got)
+        finally:
+            tx.close()
+            beam_rx.stop()
+            beam_ring.close()
+            await node.stop()
+
+    run(scenario())
