@@ -10,5 +10,8 @@ that never touch HBM.
 from dpdk_dc_sand_tpu.models.bengine import BeamformPipeline  # noqa: F401
 from dpdk_dc_sand_tpu.models.fengine import FEngine  # noqa: F401
 from dpdk_dc_sand_tpu.models.fbengine import FBEngine  # noqa: F401
-from dpdk_dc_sand_tpu.models.xengine import XEngine  # noqa: F401
+from dpdk_dc_sand_tpu.models.xengine import (  # noqa: F401
+    VisibilityAccumulator,
+    XEngine,
+)
 from dpdk_dc_sand_tpu.models.fxbengine import FXBEngine  # noqa: F401

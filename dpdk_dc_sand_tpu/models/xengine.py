@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dpdk_dc_sand_tpu.config import ArrayConfig
-from dpdk_dc_sand_tpu.ops.correlate import correlate
+from dpdk_dc_sand_tpu.ops.correlate import correlate, correlate_accumulate
 
 
 class XEngine:
@@ -55,6 +55,91 @@ class XEngine:
             size=(self.n_accum, n_chan, t_block, self.n_inputs, 2),
             dtype=np.int8,
         )
+
+
+class VisibilityAccumulator:
+    """Cross-step visibility integration with device-resident state.
+
+    The streaming counterpart of :meth:`XEngine.integrate`: feed it one
+    step's voltages (or a pre-correlated ``(V_re, V_im)`` pair) at a time;
+    every ``n_accum`` steps it emits an integrated dump and restarts — the
+    reference's ACCUMULATIONS_BEFORE_NEW_COEFFS=256 cadence
+    (BeamformerParameters.h:17) as a device-side running sum. The
+    accumulator buffers are donated to each update, so integration is
+    in-place in HBM and nothing is pulled to the host between dumps.
+
+    Works unchanged on sharded inputs (e.g. the channel-sharded
+    visibilities from ``ShardedFBEngine(emit_visibilities=True)``): the
+    running sum inherits the addends' sharding.
+    """
+
+    def __init__(self, n_accum: int, precision: str = "f32"):
+        self.n_accum = n_accum
+        self._acc: tuple[jax.Array, jax.Array] | None = None
+        self._count = 0
+        self._first_seq: int | None = None
+        self._add = jax.jit(
+            lambda ar, ai, vr, vi: (ar + vr, ai + vi), donate_argnums=(0, 1)
+        )
+        self._corr_add = jax.jit(
+            functools.partial(correlate_accumulate, precision=precision),
+            donate_argnums=(1, 2),
+        )
+
+    @property
+    def count(self) -> int:
+        """Steps integrated into the current window."""
+        return self._count
+
+    def add(self, vis_re: jax.Array, vis_im: jax.Array, seq: int | None = None):
+        """Fold one step's visibilities in; return a dump when complete.
+
+        Returns ``None`` mid-window, else ``(V_re, V_im, first_seq)`` with
+        the window's integrated f32 visibilities and the sequence number of
+        its first step (``None`` when seqs were never supplied).
+        """
+        if self._acc is None:
+            self._acc = (
+                jnp.zeros_like(vis_re, jnp.float32),
+                jnp.zeros_like(vis_im, jnp.float32),
+            )
+        if self._count == 0:
+            self._first_seq = seq
+        self._acc = self._add(*self._acc, vis_re, vis_im)
+        self._count += 1
+        if self._count < self.n_accum:
+            return None
+        dump = (*self._acc, self._first_seq)
+        self._acc = (
+            jnp.zeros_like(dump[0]),
+            jnp.zeros_like(dump[1]),
+        )
+        self._count = 0
+        return dump
+
+    def add_samples(self, samples: jax.Array, seq: int | None = None):
+        """Correlate one step's voltages and fold them in (fused update).
+
+        ``samples``: ``[chan, time, n_inputs, 2]`` planar int8 — the
+        F-engine transport block. Correlation and accumulation run in one
+        jit with the accumulators donated.
+        """
+        if self._acc is None:
+            n_chan, _, n_inputs, _ = samples.shape
+            self._acc = (
+                jnp.zeros((n_chan, n_inputs, n_inputs), jnp.float32),
+                jnp.zeros((n_chan, n_inputs, n_inputs), jnp.float32),
+            )
+        if self._count == 0:
+            self._first_seq = seq
+        self._acc = self._corr_add(samples, *self._acc)
+        self._count += 1
+        if self._count < self.n_accum:
+            return None
+        dump = (*self._acc, self._first_seq)
+        self._acc = (jnp.zeros_like(dump[0]), jnp.zeros_like(dump[1]))
+        self._count = 0
+        return dump
 
 
 def _accum_window(samples: jax.Array, *, precision: str, n_accum: int):

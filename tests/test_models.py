@@ -163,3 +163,72 @@ class TestFXBEngine:
         want_re, want_im = golden.correlate_planar(x[..., 0], x[..., 1])
         np.testing.assert_allclose(np.asarray(vre), want_re, rtol=1e-4, atol=1e-2)
         np.testing.assert_allclose(np.asarray(vim), want_im, rtol=1e-4, atol=1e-2)
+
+
+class TestVisibilityAccumulator:
+    def test_dump_cadence_and_sum(self):
+        """n_accum steps integrate into one dump equal to the per-step sum;
+        the window then restarts cleanly."""
+        from dpdk_dc_sand_tpu.models import VisibilityAccumulator
+        from dpdk_dc_sand_tpu.ops.correlate import correlate
+
+        rng = np.random.default_rng(2021)
+        blocks = rng.integers(-64, 64, size=(7, 16, 4, 6, 2), dtype=np.int8)
+        acc = VisibilityAccumulator(n_accum=3)
+        dumps = []
+        for seq, block in enumerate(blocks):
+            out = acc.add_samples(block, seq=seq)
+            if out is not None:
+                dumps.append(out)
+        assert len(dumps) == 2
+        assert acc.count == 1  # 7th step started window 3
+        assert [d[2] for d in dumps] == [0, 3]
+        for w, (vre, vim, _) in enumerate(dumps):
+            want_re = np.zeros((16, 6, 6), np.float32)
+            want_im = np.zeros_like(want_re)
+            for block in blocks[3 * w : 3 * w + 3]:
+                r, i = correlate(block)
+                want_re += np.asarray(r)
+                want_im += np.asarray(i)
+            np.testing.assert_allclose(np.asarray(vre), want_re, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(vim), want_im, rtol=1e-6)
+
+    def test_precorrelated_path_matches(self):
+        """Feeding (V_re, V_im) pairs gives the same dump as raw samples."""
+        from dpdk_dc_sand_tpu.models import VisibilityAccumulator
+        from dpdk_dc_sand_tpu.ops.correlate import correlate
+
+        rng = np.random.default_rng(7)
+        blocks = rng.integers(-64, 64, size=(4, 8, 4, 6, 2), dtype=np.int8)
+        a = VisibilityAccumulator(n_accum=4)
+        b = VisibilityAccumulator(n_accum=4)
+        for seq, block in enumerate(blocks):
+            da = a.add_samples(block, seq=seq)
+            db = b.add(*correlate(block), seq=seq)
+        assert da is not None and db is not None
+        np.testing.assert_allclose(np.asarray(da[0]), np.asarray(db[0]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(da[1]), np.asarray(db[1]), rtol=1e-6)
+        assert da[2] == db[2] == 0
+
+    def test_integrates_fxb_visibilities(self):
+        """The FXB per-step visibilities stream straight into the
+        accumulator (the instrument's full X path)."""
+        from dpdk_dc_sand_tpu.models import FXBEngine, VisibilityAccumulator
+
+        cfg = ArrayConfig(n_ants=3, n_channels=128, n_beams=2, n_taps=4)
+        fxb = FXBEngine(cfg, n_spectra=8, use_pallas=False)
+        adc, cd, fd, ph, dv = fxb.example_inputs()
+        acc = VisibilityAccumulator(n_accum=2)
+        _, vre, vim = fxb(adc, cd, fd, ph, dv)
+        assert acc.add(vre, vim, seq=10) is None
+        _, vre2, vim2 = fxb(adc, cd, fd, ph, dv)
+        dump = acc.add(vre2, vim2, seq=11)
+        assert dump is not None
+        vre_w, vim_w, first = dump
+        assert first == 10
+        np.testing.assert_allclose(
+            np.asarray(vre_w), 2 * np.asarray(vre), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(vim_w), 2 * np.asarray(vim), rtol=1e-6
+        )
