@@ -120,12 +120,16 @@ class DeviceServer:
     names map to underscores in method names.
     """
 
+    #: KATCP log priorities, lowest to highest.
+    LOG_LEVELS = ("all", "trace", "debug", "info", "warn", "error", "fatal", "off")
+
     def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
         self._host = host
         self._port = port
         self.sensors = SensorSet()
         self._server: Optional[asyncio.AbstractServer] = None
         self._conns: List[_ClientConn] = []
+        self._log_level = "warn"
 
     # ------------------------------------------------------------------
     async def start(self) -> None:
@@ -240,12 +244,39 @@ class DeviceServer:
             conn, Message(Message.REPLY, msg.name, "ok", *args, mid=finally_mid)
         )
 
+    def log_inform(self, level: str, message: str, name: str = "root") -> None:
+        """Broadcast a ``#log`` inform to clients at or above the set level.
+
+        The KATCP device-log channel (aiokatcp forwards Python logging the
+        same way): ``#log <level> <timestamp> <name> <message>``. Engines
+        call this for operational events (drops, delay updates); the
+        threshold is controlled per server by ``?log-level``.
+        """
+        levels = self.LOG_LEVELS
+        if self._log_level == "off" or levels.index(level) < levels.index(
+            self._log_level
+        ):
+            return
+        msg = Message(
+            Message.INFORM, "log", level, f"{time.time():.6f}", name, message
+        )
+        for conn in list(self._conns):
+            self._send(conn, msg)
+
     # ------------------------------------------------------------------
     # Built-in requests
     # ------------------------------------------------------------------
     async def request_watchdog(self, conn):
         """Liveness ping."""
         return ()
+
+    async def request_log_level(self, conn, level: str = ""):
+        """Query or set the minimum priority forwarded as #log informs."""
+        if level:
+            if level not in self.LOG_LEVELS:
+                raise FailReply(f"unknown log level {level}")
+            self._log_level = level
+        return (self._log_level,)
 
     async def request_help(self, conn, name: str = ""):
         """List requests (or one request's doc) as informs."""

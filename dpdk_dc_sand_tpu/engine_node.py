@@ -135,6 +135,15 @@ class EngineNode(DeviceServer):
         else:
             sensor.set(value, status)
 
+    def _log(self, level: str, message: str) -> None:
+        """Thread-safe #log inform from the processing thread."""
+        if self._loop is not None and self._loop.is_running():
+            self._loop.call_soon_threadsafe(
+                self.log_inform, level, message, "engine"
+            )
+        else:
+            self.log_inform(level, message, "engine")
+
     # ------------------------------------------------------------------
     # Data plane
     # ------------------------------------------------------------------
@@ -202,12 +211,15 @@ class EngineNode(DeviceServer):
                     arr, jnp.asarray(cd), jnp.asarray(fd), jnp.asarray(ph)
                 )
                 self.on_beams(np.asarray(beams), seq)
-            except Exception:  # noqa: BLE001 - node must stay up
+            except Exception as e:  # noqa: BLE001 - node must stay up
                 self._set_sensor(self.s_status, "degraded", Status.ERROR)
+                self._log("error", f"pipeline step failed: {e!r}")
                 continue
             self._set_sensor(self.s_processed, int(self.s_processed.value) + 1)
             if self.feed.stats.lost != int(self.s_lost.value):
-                self._set_sensor(self.s_lost, self.feed.stats.lost, Status.WARN)
+                lost = self.feed.stats.lost
+                self._set_sensor(self.s_lost, lost, Status.WARN)
+                self._log("warn", f"input sequence gap: {lost} chunks lost")
             self._bytes_window += int(np.prod(self.chunk_shape))
             now = time.monotonic()
             dt = now - self._t_window

@@ -116,6 +116,49 @@ def test_sensor_list_value_and_sampling(loop):
     run(loop, scenario())
 
 
+def test_log_level_and_log_informs(loop):
+    """?log-level queries/sets the threshold; #log informs honour it."""
+
+    async def scenario():
+        srv = EchoServer()
+        await srv.start()
+        client = await Client("127.0.0.1", srv.port).connect()
+        pushed = []
+        client.on_inform(pushed.append)
+
+        args, _ = await client.request("log-level")
+        assert args == ["warn"]
+
+        # below threshold: suppressed
+        srv.log_inform("info", "quiet please")
+        # at/above threshold: delivered
+        srv.log_inform("error", "input sequence gap", name="engine")
+        await asyncio.sleep(0.1)
+        logs = [m for m in pushed if m.name == "log"]
+        assert len(logs) == 1
+        assert logs[0].args[0] == "error"
+        assert logs[0].args[2:] == ["engine", "input sequence gap"]
+
+        args, _ = await client.request("log-level", "debug")
+        assert args == ["debug"]
+        srv.log_inform("info", "now visible")
+        await asyncio.sleep(0.1)
+        logs = [m for m in pushed if m.name == "log"]
+        assert len(logs) == 2 and logs[-1].args[3] == "now visible"
+
+        args, _ = await client.request("log-level", "off")
+        srv.log_inform("fatal", "even this is muted")
+        await asyncio.sleep(0.1)
+        assert len([m for m in pushed if m.name == "log"]) == 2
+
+        with pytest.raises(FailReply, match="unknown log level"):
+            await client.request("log-level", "loud")
+        await client.close()
+        await srv.stop()
+
+    run(loop, scenario())
+
+
 # ----------------------------------------------------------------------
 # Servlet: fan-out, validation, error propagation, sensor mirroring
 # ----------------------------------------------------------------------
