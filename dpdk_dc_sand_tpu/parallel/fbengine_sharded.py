@@ -67,6 +67,7 @@ class ShardedFBEngine:
         precision: str = "f32",
         use_pallas: bool | None = None,
         emit_visibilities: bool = False,
+        scatter_beams: bool = False,
     ) -> None:
         ant_size = mesh.shape["ant"]
         time_size = mesh.shape["time"]
@@ -76,10 +77,13 @@ class ShardedFBEngine:
             raise ValueError("n_channels and n_spectra must divide the time axis")
         if n_spectra // time_size < cfg.n_taps - 1:
             raise ValueError("time shards thinner than the FIR halo")
+        if scatter_beams and cfg.n_beams % ant_size:
+            raise ValueError("scatter_beams needs n_beams divisible by the ant axis")
         self.cfg = cfg
         self.mesh = mesh
         self.n_spectra = n_spectra
         self.emit_visibilities = emit_visibilities
+        self.scatter_beams = scatter_beams
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
 
         halo_len = (cfg.n_taps - 1) * cfg.fft_size
@@ -93,8 +97,13 @@ class ShardedFBEngine:
             precision=precision,
             use_pallas=use_pallas,
             emit_visibilities=emit_visibilities,
+            scatter_beams=scatter_beams,
         )
-        beam_out = P(None, "time", None, None, None)
+        # With scatter_beams the antenna reduction is a reduce_scatter
+        # (psum_scatter): half the ICI bytes of the all-reduce and the
+        # dump stays beam-sharded over "ant" — each device owns
+        # n_beams/ant_size beams of its channel slice.
+        beam_out = P(None, "time", None, "ant" if scatter_beams else None, None)
         out_specs = (
             (beam_out, P("time", None, None), P("time", None, None))
             if emit_visibilities
@@ -126,7 +135,7 @@ class ShardedFBEngine:
         self._coeff_key = None
         self._step = jax.jit(sharded)
         self.sample_sharding = NamedSharding(mesh, P("ant", None, "time"))
-        self.beam_sharding = NamedSharding(mesh, P(None, "time", None, None, None))
+        self.beam_sharding = NamedSharding(mesh, beam_out)
 
     @property
     def samples_in(self) -> int:
@@ -203,6 +212,7 @@ def _sharded_fb_body(
     precision: str,
     use_pallas: bool | None,
     emit_visibilities: bool = False,
+    scatter_beams: bool = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -227,10 +237,17 @@ def _sharded_fb_body(
     # [A_loc, P, S_full, C_loc, 2] -> [P, C_loc, S_full, A_loc, 2]
     bdata = jnp.transpose(bdata, (1, 3, 2, 0, 4))
 
-    # 4. Partial beamform over local antennas + psum over the ant axis.
+    # 4. Partial beamform over local antennas, then the antenna-axis
+    # collective: all-reduce (psum) for replicated beams, or
+    # reduce-scatter (psum_scatter over the beam axis) — the warp-shuffle
+    # tree of BeamformerKernels.cu:318-341 at ICI scale.
     pre, pim = beamform(bdata, cos_l, sin_l, precision)
-    pre = lax.psum(pre, "ant")
-    pim = lax.psum(pim, "ant")
+    if scatter_beams:
+        pre = lax.psum_scatter(pre, "ant", scatter_dimension=3, tiled=True)
+        pim = lax.psum_scatter(pim, "ant", scatter_dimension=3, tiled=True)
+    else:
+        pre = lax.psum(pre, "ant")
+        pim = lax.psum(pim, "ant")
     beams = jnp.stack([pre, pim], axis=-1)
     if not emit_visibilities:
         return beams

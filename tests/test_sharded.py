@@ -147,3 +147,29 @@ def test_sharded_visibilities_match_golden():
     np.testing.assert_allclose(np.asarray(vim), want_im, rtol=1e-4, atol=2e-2)
     # channel-sharded over the time axis
     assert {s.data.shape for s in vre.addressable_shards} == {(32, 16, 16)}
+
+
+def test_scatter_beams_matches_psum():
+    """reduce-scatter beam reduction ≡ all-reduce, with beam-sharded output."""
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
+    eng = ShardedFBEngine(cfg, mesh, n_spectra=16)
+    eng_rs = ShardedFBEngine(cfg, mesh, n_spectra=16, scatter_beams=True)
+    inputs = eng.example_inputs()
+    want = np.asarray(eng(*inputs))
+    got = eng_rs(*inputs)
+    # beams (axis 3) additionally split over "ant" (2 shards)
+    shard_shapes = {s.data.shape for s in got.addressable_shards}
+    assert shard_shapes == {(2, 128 // 4, 16, 4 // 2, 2)}
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_scatter_beams_rejects_indivisible():
+    mesh = make_mesh(8, shape=(2, 4))
+    with pytest.raises(ValueError, match="scatter_beams"):
+        ShardedFBEngine(
+            ArrayConfig(n_ants=8, n_channels=128, n_beams=3, n_taps=4),
+            mesh,
+            n_spectra=16,
+            scatter_beams=True,
+        )
