@@ -19,7 +19,7 @@ import numpy as np
 
 from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
-from dpdk_dc_sand_tpu.ops.beamform import beamform
+from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
 from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeffs
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay, coarse_delay
 from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
@@ -192,14 +192,21 @@ def _fb_step(
         phases[:, None],
         n_channels=cfg.n_channels,
     )
-    quant = requantise(jnp.stack([re, im], axis=-1), quant_scale)
-    # [A, P, S, C, 2] int8 — the inter-engine transport format.
+    # Keep (re, im) as separate int8 planes through the F→B handoff:
+    # stacking them on a trailing-2 axis forces XLA into padded tiled
+    # layouts whose copies back-propagate through the FFT chain —
+    # measured ~1.8× the whole step at the flagship config
+    # (benchmarks/fuse_boundary{,2}.py; output-side trailing-2 stack is
+    # free, input-side is not).
+    qr = requantise(re, quant_scale)  # [A, P, S, C] int8
+    qi = requantise(im, quant_scale)
 
     # ---- corner turn (layout only; folded by XLA) ----
-    # [A, P, S, C, 2] -> [P, C, S, A, 2]
-    bdata = jnp.transpose(quant, (1, 3, 2, 0, 4))
+    # [A, P, S, C] -> [P, C, S, A] per plane
+    xr = jnp.transpose(qr, (1, 3, 2, 0))
+    xi = jnp.transpose(qi, (1, 3, 2, 0))
 
     # ---- B-engine: channel-batched planar matmuls with cached coeffs ----
     cos, sin = coeff_blocks
-    beam_re, beam_im = beamform(bdata, cos, sin, precision)
+    beam_re, beam_im = beamform_planes(xr, xi, cos, sin, precision)
     return jnp.stack([beam_re, beam_im], axis=-1)

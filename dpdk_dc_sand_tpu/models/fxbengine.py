@@ -20,8 +20,8 @@ import numpy as np
 from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
 from dpdk_dc_sand_tpu.models.fbengine import _coeff_blocks
-from dpdk_dc_sand_tpu.ops.beamform import beamform
-from dpdk_dc_sand_tpu.ops.correlate import correlate
+from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
+from dpdk_dc_sand_tpu.ops.correlate import correlate_planes
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay, coarse_delay
 from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
 from dpdk_dc_sand_tpu.ops.requant import requantise
@@ -127,17 +127,22 @@ def _fxb_step(
         phases[:, None],
         n_channels=cfg.n_channels,
     )
-    quant = requantise(jnp.stack([re, im], axis=-1), quant_scale)
-    # [A, P, S, C, 2]
+    # (re, im) stay separate int8 planes through the handoff (trailing-2
+    # stacks force padded tiled layouts back through the FFT chain; see
+    # benchmarks/fuse_boundary2.py).
+    qr = requantise(re, quant_scale)  # [A, P, S, C] int8
+    qi = requantise(im, quant_scale)
 
     # ---- B stage ----
-    bdata = jnp.transpose(quant, (1, 3, 2, 0, 4))  # [P, C, S, A, 2]
+    xr = jnp.transpose(qr, (1, 3, 2, 0))  # [P, C, S, A]
+    xi = jnp.transpose(qi, (1, 3, 2, 0))
     cos, sin = coeffs
-    beam_re, beam_im = beamform(bdata, cos, sin, precision)
+    beam_re, beam_im = beamform_planes(xr, xi, cos, sin, precision)
     beams = jnp.stack([beam_re, beam_im], axis=-1)
 
-    # ---- X stage: [C, S, A·P, 2] over the same quantised voltages ----
-    a, p, s, c, _ = quant.shape
-    xdata = jnp.transpose(quant, (3, 2, 0, 1, 4)).reshape(c, s, a * p, 2)
-    vis_re, vis_im = correlate(xdata, precision)
+    # ---- X stage: [C, S, A·P] planes over the same quantised voltages ----
+    a, p, s, c = qr.shape
+    cr = jnp.transpose(qr, (3, 2, 0, 1)).reshape(c, s, a * p)
+    ci = jnp.transpose(qi, (3, 2, 0, 1)).reshape(c, s, a * p)
+    vis_re, vis_im = correlate_planes(cr, ci, precision)
     return beams, vis_re, vis_im

@@ -16,11 +16,19 @@ from dpdk_dc_sand_tpu.ops.reorder import (  # noqa: F401
     prebeamform_reorder,
     prebeamform_reorder_inverse,
 )
-from dpdk_dc_sand_tpu.ops.beamform import beamform_matrix, beamform  # noqa: F401
+from dpdk_dc_sand_tpu.ops.beamform import (  # noqa: F401
+    beamform,
+    beamform_matrix,
+    beamform_planes,
+)
 from dpdk_dc_sand_tpu.ops.pfb import pfb_fir, pfb_channelise  # noqa: F401
 from dpdk_dc_sand_tpu.ops.delay import (  # noqa: F401
     coarse_delay,
     apply_fine_delay,
 )
 from dpdk_dc_sand_tpu.ops.requant import requantise  # noqa: F401
-from dpdk_dc_sand_tpu.ops.correlate import correlate, correlate_accumulate  # noqa: F401
+from dpdk_dc_sand_tpu.ops.correlate import (  # noqa: F401
+    correlate,
+    correlate_accumulate,
+    correlate_planes,
+)

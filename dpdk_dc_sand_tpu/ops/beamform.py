@@ -79,6 +79,46 @@ def beamform_matrix(
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
+def beamform_planes(
+    xr: jax.Array,
+    xi: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    precision: str = "f32",
+) -> tuple[jax.Array, jax.Array]:
+    """Planar-input beamform: separate (re, im) sample planes.
+
+    ``xr, xi``: ``[..., chan, time, ant]`` (int8 ideal). Identical math to
+    :func:`beamform` but without the interleaved trailing-2 axis — the
+    production fused-pipeline form: XLA assigns trailing-2 arrays padded
+    tiled layouts whose copies back-propagate through the FFT chain
+    (measured 2x the whole-step time at the flagship config; see
+    benchmarks/fuse_boundary.py).
+    """
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    wc = jnp.swapaxes(cos, -1, -2).astype(dt)  # [chan, ant, beam]
+    ws = jnp.swapaxes(sin, -1, -2).astype(dt)
+
+    def cdot(x, w):
+        x2 = jnp.moveaxis(x.astype(dt), -3, 0)  # [chan, ..., time, ant]
+        dims = (((x2.ndim - 1,), (1,)), ((0,), (0,)))
+        out = lax.dot_general(
+            x2,
+            w,
+            dimension_numbers=dims,
+            precision=None if precision == "bf16" else lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.moveaxis(out, 0, -3)
+
+    rr = cdot(xr, wc)
+    ii = cdot(xi, ws)
+    ri = cdot(xr, ws)
+    ir = cdot(xi, wc)
+    return rr - ii, ri + ir
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
 def beamform(
     samples: jax.Array,
     cos: jax.Array,

@@ -27,6 +27,26 @@ def _gram(a: jax.Array, b: jax.Array, precision) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
+def correlate_planes(
+    xr: jax.Array, xi: jax.Array, precision: str = "f32"
+) -> tuple[jax.Array, jax.Array]:
+    """Visibilities from separate (re, im) plane inputs.
+
+    ``xr, xi``: ``[chan, time, n_inputs]`` — the production fused-pipeline
+    form (trailing-2 interleaved inputs force padded tiled layouts whose
+    copies back-propagate into the producing F stage; see
+    benchmarks/fuse_boundary2.py).
+    """
+    prec = None if precision == "bf16" else lax.Precision.HIGHEST
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    xr = xr.astype(dt)
+    xi = xi.astype(dt)
+    vre = _gram(xr, xr, prec) + _gram(xi, xi, prec)
+    vim = _gram(xi, xr, prec) - _gram(xr, xi, prec)
+    return vre, vim
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
 def correlate(
     samples: jax.Array, precision: str = "f32"
 ) -> tuple[jax.Array, jax.Array]:
@@ -43,13 +63,7 @@ def correlate(
     ``(V_re, V_im)`` each ``[chan, n_inputs, n_inputs]`` float32,
     ``V[c,i,j] = Σ_t x_i·conj(x_j)``.
     """
-    prec = None if precision == "bf16" else lax.Precision.HIGHEST
-    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    xr = samples[..., 0].astype(dt)
-    xi = samples[..., 1].astype(dt)
-    vre = _gram(xr, xr, prec) + _gram(xi, xi, prec)
-    vim = _gram(xi, xr, prec) - _gram(xr, xi, prec)
-    return vre, vim
+    return correlate_planes(samples[..., 0], samples[..., 1], precision)
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))

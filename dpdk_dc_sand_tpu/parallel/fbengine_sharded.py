@@ -37,8 +37,8 @@ from jax import shard_map
 
 from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
-from dpdk_dc_sand_tpu.ops.beamform import beamform
-from dpdk_dc_sand_tpu.ops.correlate import correlate
+from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
+from dpdk_dc_sand_tpu.ops.correlate import correlate_planes
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay
 from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
 from dpdk_dc_sand_tpu.ops.requant import requantise
@@ -230,18 +230,24 @@ def _sharded_fb_body(
         phase_l[:, None],
         n_channels=cfg.n_channels,
     )
-    quant = requantise(jnp.stack([re, im], axis=-1), quant_scale)
+    # (re, im) stay separate int8 planes through the F→B handoff — the
+    # trailing-2 stack forces padded tiled layouts whose copies
+    # back-propagate through the FFT chain (benchmarks/fuse_boundary2.py).
+    qr = requantise(re, quant_scale)  # [A_loc, P, S_loc, C] int8
+    qi = requantise(im, quant_scale)
 
     # 3. Distributed corner turn: spectra-sharding -> channel-sharding.
-    bdata = lax.all_to_all(quant, "time", split_axis=3, concat_axis=2, tiled=True)
-    # [A_loc, P, S_full, C_loc, 2] -> [P, C_loc, S_full, A_loc, 2]
-    bdata = jnp.transpose(bdata, (1, 3, 2, 0, 4))
+    ar = lax.all_to_all(qr, "time", split_axis=3, concat_axis=2, tiled=True)
+    ai = lax.all_to_all(qi, "time", split_axis=3, concat_axis=2, tiled=True)
+    # [A_loc, P, S_full, C_loc] -> [P, C_loc, S_full, A_loc] per plane
+    xr = jnp.transpose(ar, (1, 3, 2, 0))
+    xi = jnp.transpose(ai, (1, 3, 2, 0))
 
     # 4. Partial beamform over local antennas, then the antenna-axis
     # collective: all-reduce (psum) for replicated beams, or
     # reduce-scatter (psum_scatter over the beam axis) — the warp-shuffle
     # tree of BeamformerKernels.cu:318-341 at ICI scale.
-    pre, pim = beamform(bdata, cos_l, sin_l, precision)
+    pre, pim = beamform_planes(xr, xi, cos_l, sin_l, precision)
     if scatter_beams:
         pre = lax.psum_scatter(pre, "ant", scatter_dimension=3, tiled=True)
         pim = lax.psum_scatter(pim, "ant", scatter_dimension=3, tiled=True)
@@ -254,12 +260,12 @@ def _sharded_fb_body(
 
     # 5. X stage: correlation needs all antenna pairs, so gather the
     # channel slice's voltages across the "ant" axis (the unavoidable
-    # all-pairs traffic), then integrate the local channels.
-    # bdata [P, C_loc, S_full, A_loc, 2] -> gather A
-    full = lax.all_gather(bdata, "ant", axis=3, tiled=True)
-    p, c_loc, s_full, a_full, _ = full.shape
-    xdata = jnp.transpose(full, (1, 2, 3, 0, 4)).reshape(
-        c_loc, s_full, a_full * p, 2
-    )
-    vre, vim = correlate(xdata, precision)
+    # all-pairs traffic), then integrate the local channels — plane-wise,
+    # same total ICI bytes as one stacked gather.
+    fr = lax.all_gather(xr, "ant", axis=3, tiled=True)
+    fi = lax.all_gather(xi, "ant", axis=3, tiled=True)
+    p, c_loc, s_full, a_full = fr.shape
+    cr = jnp.transpose(fr, (1, 2, 3, 0)).reshape(c_loc, s_full, a_full * p)
+    ci = jnp.transpose(fi, (1, 2, 3, 0)).reshape(c_loc, s_full, a_full * p)
+    vre, vim = correlate_planes(cr, ci, precision)
     return beams, vre, vim

@@ -185,6 +185,23 @@ def test_beamform_planar_with_lead_dims():
     np.testing.assert_allclose(np.asarray(im), want.imag, rtol=1e-4, atol=1e-2)
 
 
+def test_beamform_planes_matches_stacked():
+    """Separate (re, im) plane inputs give bit-identical beams to the
+    trailing-2 stacked form (same dots, different operand layout)."""
+    cfg = ArrayConfig(n_ants=5, n_channels=256, n_beams=3)
+    cps = cfg.n_channels_per_stream
+    samples = RNG.integers(-100, 100, size=(2, cps, 48, 5, 2), dtype=np.int8)
+    dv = make_delay_vals(cfg)
+    w = golden.steering_coeffs_complex(dv, cfg.n_channels, cfg.sample_period)
+    cos, sin = w.real.copy(), w.imag.copy()
+    re0, im0 = ops.beamform(samples, cos, sin)
+    re1, im1 = ops.beamform_planes(
+        samples[..., 0].copy(), samples[..., 1].copy(), cos, sin
+    )
+    np.testing.assert_array_equal(np.asarray(re0), np.asarray(re1))
+    np.testing.assert_array_equal(np.asarray(im0), np.asarray(im1))
+
+
 # ----------------------------------------------------------------------
 # PFB
 # ----------------------------------------------------------------------
