@@ -26,7 +26,7 @@ def main(spectra_list):
     from dpdk_dc_sand_tpu.config import ArrayConfig
     from dpdk_dc_sand_tpu.models import FBEngine
     from dpdk_dc_sand_tpu.models.fbengine import _fb_step
-    from dpdk_dc_sand_tpu.ops.beamform import beamform
+    from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
 
     cfg = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
 
@@ -92,15 +92,19 @@ def main(spectra_list):
                 jnp.real(spectra), jnp.imag(spectra),
                 fd_c[:, None], ph_d[:, None], n_channels=cfg.n_channels,
             )
-            return requantise(jnp.stack([re, im], axis=-1), 1 / 16)
+            return requantise(re, 1 / 16), requantise(im, 1 / 16)
 
         def fstage_factory(n_iters):
             @jax.jit
             def run(adc, fd):
                 def body(i, carry):
                     fd_c, acc = carry
-                    q = f_stage(adc, fd_c)
-                    probe = q[0, 0, 0, 0, 0].astype(jnp.float32)
+                    qr, qi = f_stage(adc, fd_c)
+                    # full reduction: the 256x256 matmul-FFT is sliceable,
+                    # a single-element probe lets XLA DCE the whole F chain
+                    probe = (
+                        qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()
+                    ) * 1e-30
                     return (fd_c + probe * 1e-30, acc + probe)
 
                 return jax.lax.fori_loop(0, n_iters, body, (fd, jnp.float32(0)))[1]
@@ -116,7 +120,7 @@ def main(spectra_list):
             jnp.asarray(
                 rng.integers(
                     -64, 64,
-                    size=(cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_channels, 2),
+                    size=(2, cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_channels),
                     dtype=np.int8,
                 )
             )
@@ -129,8 +133,9 @@ def main(spectra_list):
 
                 def body(i, carry):
                     gain, acc = carry
-                    bdata = jnp.transpose(quant, (1, 3, 2, 0, 4))
-                    br, bi = beamform(bdata, cos * gain, sin, "f32")
+                    xr = jnp.transpose(quant[0], (1, 3, 2, 0))
+                    xi = jnp.transpose(quant[1], (1, 3, 2, 0))
+                    br, bi = beamform_planes(xr, xi, cos * gain, sin, "f32")
                     probe = br[0, 0, 0, 0]
                     return (gain + probe * 1e-30, acc + probe)
 

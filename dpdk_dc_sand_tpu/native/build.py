@@ -18,7 +18,7 @@ from pathlib import Path
 from typing import Optional
 
 _DIR = Path(__file__).resolve().parent
-_SOURCES = ["ringbuffer.cpp", "spead_codec.cpp", "membw.cpp"]
+_SOURCES = ["ringbuffer.cpp", "spead_codec.cpp", "membw.cpp", "udp_burst.cpp"]
 _LIB = _DIR / "_dcsand_native.so"
 _LOCK = threading.Lock()
 _CACHED: Optional[ctypes.CDLL] = None
@@ -120,3 +120,17 @@ def _declare(lib: ctypes.CDLL) -> None:
 
     lib.membw_scan.restype = ctypes.c_double
     lib.membw_scan.argtypes = [u32, u64, ctypes.c_double, u32]
+
+    cs = ctypes.c_char_p
+    lib.ub_sender_create.restype = vp
+    lib.ub_sender_create.argtypes = [cs, u16, u64]
+    lib.ub_send_chunk.restype = ctypes.c_longlong
+    lib.ub_send_chunk.argtypes = [vp, p8, u64, u64, u64, u32]
+    lib.ub_sender_stats.argtypes = [vp, ctypes.POINTER(u64), ctypes.POINTER(u64)]
+    lib.ub_sender_destroy.argtypes = [vp]
+    lib.ub_receiver_create.restype = vp
+    lib.ub_receiver_create.argtypes = [cs, u16, cs, u64, vp]
+    lib.ub_receiver_port.restype = u16
+    lib.ub_receiver_port.argtypes = [vp]
+    lib.ub_receiver_stats.argtypes = [vp] + [ctypes.POINTER(u64)] * 5
+    lib.ub_receiver_destroy.argtypes = [vp]
