@@ -49,7 +49,10 @@ class FBEngine:
         quant_scale: float = 1.0 / 16.0,
         precision: str = "f32",
         use_pallas: bool | None = None,
+        fengine: str = "xla",
     ) -> None:
+        if fengine not in ("xla", "fused", "fused_f32"):
+            raise ValueError(f"unknown fengine backend {fengine!r}")
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -65,6 +68,7 @@ class FBEngine:
                 quant_scale=quant_scale,
                 precision=precision,
                 use_pallas=use_pallas,
+                fengine=fengine,
             )
         )
 
@@ -178,28 +182,51 @@ def _fb_step(
     quant_scale: float,
     precision: str,
     use_pallas: bool | None,
+    fengine: str = "xla",
 ) -> jax.Array:
     # ---- F-engine ----
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
     aligned = coarse_delay(adc, coarse_delays, out_len)
-    spectra = pfb_channelise(
-        aligned, window, n_channels=cfg.n_channels, use_pallas=use_pallas
-    )  # [A, P, S, C] complex64
-    re, im = apply_fine_delay(
-        jnp.real(spectra),
-        jnp.imag(spectra),
-        frac_delays[:, None],
-        phases[:, None],
-        n_channels=cfg.n_channels,
-    )
-    # Keep (re, im) as separate int8 planes through the F→B handoff:
-    # stacking them on a trailing-2 axis forces XLA into padded tiled
-    # layouts whose copies back-propagate through the FFT chain —
-    # measured ~1.8× the whole step at the flagship config
-    # (benchmarks/fuse_boundary{,2}.py; output-side trailing-2 stack is
-    # free, input-side is not).
-    qr = requantise(re, quant_scale)  # [A, P, S, C] int8
-    qi = requantise(im, quant_scale)
+    if fengine != "xla":
+        # Single fused Pallas kernel: FIR + MXU rFFT + fine delay +
+        # requant, int8 in / int8 out, no HBM intermediates (see
+        # ops/fengine_pallas.py). "fused" uses bf16 DFT operands with
+        # f32 accumulation; "fused_f32" keeps exact f32 MACs.
+        from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
+
+        frames = aligned.reshape(
+            cfg.n_ants, cfg.n_pols, -1, cfg.fft_size
+        )
+        qr, qi = fengine_fused(
+            frames,
+            window,
+            jnp.broadcast_to(
+                frac_delays[:, None], (cfg.n_ants, cfg.n_pols)
+            ),
+            jnp.broadcast_to(phases[:, None], (cfg.n_ants, cfg.n_pols)),
+            n_channels=cfg.n_channels,
+            quant_scale=quant_scale,
+            dft_dtype="float32" if fengine == "fused_f32" else "bfloat16",
+        )
+    else:
+        spectra = pfb_channelise(
+            aligned, window, n_channels=cfg.n_channels, use_pallas=use_pallas
+        )  # [A, P, S, C] complex64
+        re, im = apply_fine_delay(
+            jnp.real(spectra),
+            jnp.imag(spectra),
+            frac_delays[:, None],
+            phases[:, None],
+            n_channels=cfg.n_channels,
+        )
+        # Keep (re, im) as separate int8 planes through the F→B handoff:
+        # stacking them on a trailing-2 axis forces XLA into padded tiled
+        # layouts whose copies back-propagate through the FFT chain —
+        # measured ~1.8× the whole step at the flagship config
+        # (benchmarks/fuse_boundary{,2}.py; output-side trailing-2 stack is
+        # free, input-side is not).
+        qr = requantise(re, quant_scale)  # [A, P, S, C] int8
+        qi = requantise(im, quant_scale)
 
     # ---- corner turn (layout only; folded by XLA) ----
     # [A, P, S, C] -> [P, C, S, A] per plane

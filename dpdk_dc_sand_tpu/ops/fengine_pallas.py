@@ -1,0 +1,415 @@
+"""Fused F-engine Pallas kernel: FIR + rFFT + fine delay + requantise.
+
+One kernel performs the whole F chain in VMEM — int8 frames in, int8
+(re, im) channelised planes out, ~0.85 GB of HBM per flagship step
+instead of ~4.5 GB of materialised f32/complex64 intermediates.
+
+**Measured outcome (v5e, 2026-08, benchmarks/fused_fengine_bench.py):**
+at the flagship config this loses to the composed path — 18.1 ms vs
+7.8 ms full-step — because a two-stage matmul-FFT spends
+``N·(N1+N2) ≈ 384·N`` MXU MACs where a tuned split-radix FFT spends
+``≈ 40·N`` flops, and XLA's TPU FFT keeps the whole composed F-stage at
+1.9 ms; HBM traffic was not the F-stage limiter after all (the F→B
+boundary is — see ROADMAP). Kept as an optional backend
+(``FBEngine(fengine="fused")``): it is the right shape for small FFT
+sizes, for engines starved on HBM, and as the repo's reference for
+multi-stage MXU kernels with manual DMA.
+
+It is the TPU-native replacement for the reference F-engine's CUDA
+FIR+cuFFT chain (katfgpu, merge_gpu_repositories/do_merge.sh:4-10) with
+the channelisation contract of
+``bdd_experiment/test/features/channelisation.feature:5-9``.
+
+Structure (per grid step = one (antenna·pol) batch × one spectra block):
+
+1. **Streaming FIR** — the input in HBM is *viewed* as
+   ``[B, n_frames·N1, 2·N2]`` (a free row-major reshape of
+   ``[B, n_frames, fft_size]``), so the manually double-buffered DMA tile
+   arrives in VMEM already shaped for the DFT stages; the tap
+   multiply-accumulate runs on whole ``[N1, 2N2]`` slabs (VPU, f32
+   window — bf16 window rounding would lift the filterbank leakage floor
+   above the −62 dB spec).
+2. **Real FFT on the MXU, decimation-in-time** — the even/odd sample
+   streams (``e[m] = x[2m]``, ``o[m] = x[2m+1]``, a minor-axis view, no
+   shuffle) each get a length-``N`` DFT via a two-stage Cooley–Tukey
+   factorisation ``N = N1·N2`` (12 ``[N1,N1]@[N1,N2]``-class matmuls per
+   spectrum — stage A is cheap because the inputs are real) with rounded
+   (bf16-default) DFT operands and **float32 accumulation**, twiddles
+   applied on the VPU between stages. Stage B contracts against the
+   shared axis directly so its output lands transposed — ``[k2, k1]``
+   with channel index ``k = k2·N1 + k1`` — which makes the final HBM
+   write layout-natural (the caller's flatten is a bitcast).
+3. **DIT combine** — ``X[k] = E[k] + W_{2N}^k · O[k]`` for the kept bins
+   ``k < N`` with precomputed ``e^{−iπk/N}`` grids. (The classic packed-
+   complex-FFT + Hermitian-untangle alternative needs an index reversal,
+   which Mosaic has no primitive for; the DIT form is reversal-free and
+   only ~33% more MXU work — far off the critical path.)
+4. **Fine delay + requant** — the per-antenna phase ramp
+   (ops/delay.py convention, coeff_generator.py:55-65) and round-half-
+   even int8 saturation (golden/requant.py) applied in-register before
+   the only HBM write.
+
+Accuracy: DFT operand rounding is *non-accumulating* (f32 accumulate), so
+per-bin relative error ≈ bf16 eps ≈ 4e-3 — under half an int8 code at the
+standard requant gain — and tone leakage lands at ≈ −90 dB, well inside
+the −62 dB acceptance spec (leakage scales as eps/√N because rounding
+noise adds incoherently while the tone peak adds coherently over N).
+``dft_dtype="float32"`` keeps exact f32 MACs for qualification runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: Spectra computed per grid step (bounds VMEM: FIR slab + temporaries).
+_S_BLK_MAX = 8
+#: Sublane alignment required of manual DMA slices (Mosaic tiled memrefs).
+_ROW_ALIGN = 8
+
+
+def _split_pow2(n: int) -> tuple[int, int]:
+    """n = n1 * n2, powers of two, near-balanced with n2 >= 64.
+
+    The HBM frame view has ``2·n2`` lanes and Mosaic DMA slices require
+    128-lane alignment, so n2 is floored at 64.
+    """
+    l = n.bit_length() - 1
+    n1 = 1 << ((l + 1) // 2)
+    n2 = n // n1
+    if n2 < 64:
+        n2 = min(64, n // 8)
+        n1 = n // n2
+    return n1, n2
+
+
+def _pick_s_blk(n_spectra: int) -> int:
+    blk = _S_BLK_MAX
+    while blk > 1 and n_spectra % blk:
+        blk //= 2
+    return blk
+
+
+def fused_supported(frames_shape: tuple[int, ...], n_taps: int, n_channels: int) -> bool:
+    """Whether the fused kernel handles this shape (else composed ops)."""
+    *_, n_frames, fft_size = frames_shape
+    if fft_size & (fft_size - 1) or fft_size < 128:
+        return False
+    if n_channels != fft_size // 2:
+        return False
+    n_spectra = n_frames - n_taps + 1
+    if n_spectra < 1:
+        return False
+    n1, n2 = _split_pow2(fft_size // 2)
+    # Manual DMA row slices must be 8-aligned (rows move in units of N1)
+    # and the frame view needs >=128 int8 lanes (2*n2).
+    return n1 % _ROW_ALIGN == 0 and n2 >= 64
+
+
+def _fengine_kernel(
+    frames_hbm,  # [B, n_frames*N1, 2*N2] int8, HBM/ANY
+    win_ref,  # [n_taps*N1, 2*N2] f32 VMEM
+    dft1c_ref,  # [N1, N1] stage-A DFT cos
+    dft1s_ref,  # [N1, N1] stage-A DFT −sin
+    dft2c_ref,  # [N2, N2] stage-B DFT cos
+    dft2s_ref,  # [N2, N2] stage-B DFT −sin
+    twc_ref,  # [N1, N2] inter-stage twiddle cos
+    tws_ref,  # [N1, N2] inter-stage twiddle −sin
+    untc_ref,  # [N2, N1] DIT-combine cos(πk/N)
+    unts_ref,  # [N2, N1] DIT-combine −sin(πk/N)
+    sel_ref,  # [2*N2, 2*N2] even/odd selection permutation
+    fd_ref,  # [batch, 1] f32 SMEM: per-batch fractional delay
+    ph_ref,  # [batch, 1] f32 SMEM: per-batch phase
+    outr_ref,  # [1, s_blk, N2, N1] int8
+    outi_ref,  # [1, s_blk, N2, N1] int8
+    scratch,  # [2, (s_blk+taps-1)*N1, 2*N2] int8 VMEM
+    sems,  # DMA semaphores [2]
+    *,
+    s_blk: int,
+    n_taps: int,
+    n1: int,
+    n2: int,
+    n_channels_total: int,
+    channel_offset: int,
+    quant_scale: float,
+    dft_dtype,
+):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    n_s = pl.num_programs(1)
+    rows = (s_blk + n_taps - 1) * n1
+
+    def dma(slot, bi, si):
+        return pltpu.make_async_copy(
+            frames_hbm.at[bi, pl.ds(si * s_blk * n1, rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    step = b * n_s + s
+    slot = jax.lax.rem(step, 2)
+    next_slot = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        dma(slot, b, s).start()
+
+    ns_ = jax.lax.rem(s + 1, n_s)
+    nb = b + jnp.where(s + 1 == n_s, 1, 0)
+    is_last = step + 1 == pl.num_programs(0) * n_s
+
+    @pl.when(jnp.logical_not(is_last))
+    def _():
+        dma(next_slot, nb, ns_).start()
+
+    dma(slot, b, s).wait()
+
+    # Per-channel fine-delay rotation for this batch (constant over the
+    # spectra block). Channel grid: k = k2*N1 + k1 on the [N2, N1] plane.
+    k2g = jax.lax.broadcasted_iota(jnp.int32, (n2, n1), 0)
+    k1g = jax.lax.broadcasted_iota(jnp.int32, (n2, n1), 1)
+    k = (k2g * n1 + k1g + channel_offset).astype(jnp.float32)
+    rot = (
+        -jnp.pi
+        * fd_ref[b, 0]
+        * (k - n_channels_total / 2.0)
+        / n_channels_total
+        + ph_ref[b, 0]
+    )
+    rot_c, rot_s = jnp.cos(rot), jnp.sin(rot)
+
+    tile = scratch[slot]
+    d1c, d1s = dft1c_ref[:].astype(dft_dtype), dft1s_ref[:].astype(dft_dtype)
+    d2c, d2s = dft2c_ref[:].astype(dft_dtype), dft2s_ref[:].astype(dft_dtype)
+
+    # Mosaic's default matmul precision is bf16 passes; the float32 DFT
+    # mode must request true f32 MACs explicitly.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dft_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def dot(a, w):
+        return jnp.dot(
+            a, w, preferred_element_type=jnp.float32, precision=prec
+        )
+
+    def dot_t(w, a):
+        # X[i, j] = sum_c w[i, c] * a[j, c]  (rhs contracted on its minor
+        # axis — the MXU-natural layout; output lands transposed).
+        return jax.lax.dot_general(
+            w,
+            a,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    for si in range(s_blk):
+        # ---- FIR: one [N1, 2N2] slab per tap, f32 accumulate (VPU) ----
+        acc = (
+            tile[si * n1 : (si + 1) * n1].astype(jnp.float32)
+            * win_ref[0:n1]
+        )
+        for tap in range(1, n_taps):
+            acc = acc + (
+                tile[(si + tap) * n1 : (si + tap + 1) * n1].astype(jnp.float32)
+                * win_ref[tap * n1 : (tap + 1) * n1]
+            )
+
+        # ---- even/odd sample streams via a selection matmul ----
+        # Mosaic has no strided-lane slice / trailing-2 shape cast; a
+        # permutation matmul on the MXU is exact (one unit term per
+        # output) and far off the critical path.
+        deint = dot(
+            acc.astype(dft_dtype), sel_ref[:].astype(dft_dtype)
+        )  # [N1, 2N2]: even stream in lanes [:N2], odd in [N2:]
+        ev = deint[:, :n2].astype(dft_dtype)  # [N1, N2]
+        od = deint[:, n2:].astype(dft_dtype)
+
+        def dft_n(x):
+            """Two-stage length-N DFT of a real [N1, N2] input.
+
+            Returns (re, im) in the transposed [k2, k1] channel grid,
+            k = k2·N1 + k1.
+            """
+            # stage A: [N1 DFT] @ x — x real, so 2 matmuls
+            ar, ai = dot(d1c, x), dot(d1s, x)
+            # inter-stage twiddle W_N^{k1·c}
+            tr = ar * twc_ref[:] - ai * tws_ref[:]
+            ti = ar * tws_ref[:] + ai * twc_ref[:]
+            trd, tid = tr.astype(dft_dtype), ti.astype(dft_dtype)
+            # stage B, transposed out: X[k2, k1] = Σ_c F2[k2,c]·T[k1,c]
+            re = dot_t(d2c, trd) - dot_t(d2s, tid)
+            im = dot_t(d2c, tid) + dot_t(d2s, trd)
+            return re, im
+
+        er, ei = dft_n(ev)
+        orr, oi = dft_n(od)
+
+        # ---- DIT combine: X[k] = E[k] + W_{2N}^k · O[k] ----
+        xr = er + untc_ref[:] * orr - unts_ref[:] * oi
+        xi = ei + untc_ref[:] * oi + unts_ref[:] * orr
+
+        # ---- fine delay rotation + round-half-even int8 requant ----
+        outr = xr * rot_c - xi * rot_s
+        outi = xr * rot_s + xi * rot_c
+        qr = jnp.clip(jnp.rint(outr * quant_scale), -127.0, 127.0)
+        qi = jnp.clip(jnp.rint(outi * quant_scale), -127.0, 127.0)
+        outr_ref[0, si] = qr.astype(jnp.int8)
+        outi_ref[0, si] = qi.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_channels",
+        "quant_scale",
+        "channel_offset",
+        "n_channels_total",
+        "dft_dtype",
+        "interpret",
+    ),
+)
+def fengine_fused(
+    frames: jax.Array,
+    window: jax.Array,
+    frac_delay: jax.Array,
+    phase: jax.Array,
+    *,
+    n_channels: int,
+    quant_scale: float,
+    channel_offset: int = 0,
+    n_channels_total: int | None = None,
+    dft_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """FIR + rFFT + fine delay + int8 requant in one kernel.
+
+    Parameters
+    ----------
+    frames:
+        ``[..., n_frames, fft_size]`` int8 ADC frames (coarse-delay
+        aligned; first ``n_taps − 1`` frames are FIR history).
+    window:
+        ``[n_taps, fft_size]`` float32 PFB prototype.
+    frac_delay, phase:
+        Per-batch fine-delay solution, shape = leading dims of ``frames``
+        (e.g. ``[n_ants, n_pols]``).
+    n_channels:
+        Must equal ``fft_size // 2`` (the rfft keep-count).
+    quant_scale:
+        Requantisation gain (static).
+    channel_offset / n_channels_total:
+        Absolute-channel bookkeeping for channel-sharded engines
+        (coeff_generator.py:49-53 convention); defaults single-engine.
+
+    Returns
+    -------
+    ``(qr, qi)`` int8 ``[..., n_spectra, n_channels]`` planes.
+    """
+    n_taps, fft_size = window.shape
+    *lead, n_frames, f = frames.shape
+    assert f == fft_size and n_channels == fft_size // 2
+    if n_channels_total is None:
+        n_channels_total = n_channels
+    n_spectra = n_frames - n_taps + 1
+    n = fft_size // 2
+    n1, n2 = _split_pow2(n)
+    s_blk = _pick_s_blk(n_spectra)
+
+    batch = 1
+    for d in lead:
+        batch *= d
+    fr = frames.reshape(batch, n_frames * n1, 2 * n2)
+    win = window.astype(jnp.float32).reshape(n_taps * n1, 2 * n2)
+    fd = jnp.broadcast_to(
+        jnp.asarray(frac_delay, jnp.float32), tuple(lead)
+    ).reshape(batch, 1)
+    ph = jnp.broadcast_to(jnp.asarray(phase, jnp.float32), tuple(lead)).reshape(
+        batch, 1
+    )
+
+    # DFT / twiddle / untangle constants (trace-time numpy; XLA folds).
+    k1 = np.arange(n1)
+    k2 = np.arange(n2)
+    a1 = 2 * np.pi * np.outer(k1, k1) / n1
+    a2 = 2 * np.pi * np.outer(k2, k2) / n2
+    atw = 2 * np.pi * np.outer(k1, k2) / n
+    kk = (k2[:, None] * n1 + k1[None, :]).astype(np.float64)
+    aun = np.pi * kk / n
+    sel = np.zeros((2 * n2, 2 * n2))
+    sel[2 * k2, k2] = 1.0  # even lanes -> [:N2]
+    sel[2 * k2 + 1, n2 + k2] = 1.0  # odd lanes -> [N2:]
+    consts = [
+        np.cos(a1), -np.sin(a1),
+        np.cos(a2), -np.sin(a2),
+        np.cos(atw), -np.sin(atw),
+        np.cos(aun), -np.sin(aun),
+        sel,
+    ]
+    consts = [jnp.asarray(c, jnp.float32) for c in consts]
+
+    rows = (s_blk + n_taps - 1) * n1
+    grid = (batch, n_spectra // s_blk)
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    qr, qi = pl.pallas_call(
+        functools.partial(
+            _fengine_kernel,
+            s_blk=s_blk,
+            n_taps=n_taps,
+            n1=n1,
+            n2=n2,
+            n_channels_total=n_channels_total,
+            channel_offset=channel_offset,
+            quant_scale=quant_scale,
+            dft_dtype=jnp.dtype(dft_dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (n_taps * n1, 2 * n2),
+                lambda b, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *const_specs,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, s_blk, n2, n1),
+                lambda b, s: (b, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s_blk, n2, n1),
+                lambda b, s: (b, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n_spectra, n2, n1), jnp.int8),
+            jax.ShapeDtypeStruct((batch, n_spectra, n2, n1), jnp.int8),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, 2 * n2), frames.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(fr, win, *consts, fd, ph)
+    shape = (*lead, n_spectra, n_channels)
+    return qr.reshape(shape), qi.reshape(shape)
