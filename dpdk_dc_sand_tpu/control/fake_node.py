@@ -15,9 +15,22 @@ from dpdk_dc_sand_tpu.control.sensors import Sensor, Status
 
 
 class FakeNode(DeviceServer):
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, fail: bool = False):
+    """Fault-injection knobs: ``fail`` always FailReplies, ``fail_times``
+    FailReplies the first N requests then recovers (retry testing), and
+    ``hang_s`` delays every reply (timeout testing)."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        fail: bool = False,
+        fail_times: int = 0,
+        hang_s: float = 0.0,
+    ):
         super().__init__(host, port)
         self.fail = fail
+        self.fail_times = fail_times
+        self.hang_s = hang_s
         self.beam_weights_set = False
         self.last_weights: Optional[List[float]] = None
         self.last_delay_model: Optional[List[float]] = None
@@ -35,15 +48,24 @@ class FakeNode(DeviceServer):
             Sensor("ingest-rate", "input data rate", "Gbps", "float", 0.0)
         )
 
-    async def request_beam_weights(self, conn, *weights):
+    async def _inject(self) -> None:
+        if self.hang_s:
+            import asyncio
+
+            await asyncio.sleep(self.hang_s)
         if self.fail:
             raise FailReply("injected failure")
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise FailReply("injected transient failure")
+
+    async def request_beam_weights(self, conn, *weights):
+        await self._inject()
         self.last_weights = [float(w) for w in weights]
         self.beam_weights_set = True
         return ()
 
     async def request_delay_model(self, conn, *args):
-        if self.fail:
-            raise FailReply("injected failure")
+        await self._inject()
         self.last_delay_model = [float(a) for a in args]
         return ()

@@ -78,6 +78,12 @@ class CorrServlet(DeviceServer):
         (corr3_servlet.py:142-143).
     engine_endpoints:
         ``[(host, port), …]`` of the engine nodes to front.
+    request_timeout:
+        Per-node fan-out deadline in seconds (a hung engine must not
+        wedge the whole instrument's control path).
+    request_retries:
+        Transparent re-sends per node after a timeout or failure before
+        the fan-out reports the node as failed.
     """
 
     def __init__(
@@ -87,10 +93,14 @@ class CorrServlet(DeviceServer):
         host: str = "127.0.0.1",
         port: int = 0,
         engine_endpoints: Sequence[Tuple[str, int]] = (),
+        request_timeout: float = 5.0,
+        request_retries: int = 1,
     ) -> None:
         super().__init__(host, port)
         self.name = name
         self.n_antennas = n_antennas
+        self.request_timeout = request_timeout
+        self.request_retries = request_retries
         self.engine_endpoints = list(engine_endpoints)
         self.engine_clients: List[Client] = []
         self.mirrors: List[SensorMirror] = []
@@ -120,6 +130,47 @@ class CorrServlet(DeviceServer):
         await super().stop()
 
     # ------------------------------------------------------------------
+    async def _fanout(self, name: str, *args) -> None:
+        """Send a request to every node with per-node timeout + retry.
+
+        The reference fan-out is a bare ``asyncio.gather`` whose first
+        node error aborts the request with no deadline
+        (corr3_servlet.py:146-148); production control paths need a hung
+        engine bounded by ``request_timeout`` and transient failures
+        retried. Any node still failing is reported in one ``FailReply``
+        (all healthy nodes keep the update — the partial-application
+        state is visible through the mirrored sensors) and the servlet's
+        ``device-status`` sensor degrades.
+        """
+
+        async def one(i: int, client: Client) -> str | None:
+            last = "unreachable"
+            for _ in range(self.request_retries + 1):
+                try:
+                    await asyncio.wait_for(
+                        client.request(name, *args), self.request_timeout
+                    )
+                    return None
+                except asyncio.TimeoutError:
+                    last = "timeout"
+                except Exception as e:  # FailReply / connection errors
+                    last = str(e) or type(e).__name__
+            logger.warning("node%d %s failed: %s", i, name, last)
+            return f"node{i}: {last}"
+
+        failures = [
+            f
+            for f in await asyncio.gather(
+                *(one(i, c) for i, c in enumerate(self.engine_clients))
+            )
+            if f is not None
+        ]
+        status = self.sensors["device-status"]
+        if failures:
+            status.set("degraded", Status.WARN)
+            raise FailReply(f"{name} failed on {', '.join(failures)}")
+        status.set("ok", Status.NOMINAL)
+
     async def request_beam_weights(self, conn, *weights):
         """Set per-antenna beam weights on every engine node.
 
@@ -134,9 +185,7 @@ class CorrServlet(DeviceServer):
             [float(w) for w in weights]
         except ValueError as e:
             raise FailReply(f"non-numeric weight: {e}") from None
-        await asyncio.gather(
-            *(c.request("beam-weights", *weights) for c in self.engine_clients)
-        )
+        await self._fanout("beam-weights", *weights)
         return ()
 
     async def request_delay_model(self, conn, *args):
@@ -147,7 +196,5 @@ class CorrServlet(DeviceServer):
         """
         if len(args) % 4:
             raise FailReply("delay model must be groups of 4 values per antenna")
-        await asyncio.gather(
-            *(c.request("delay-model", *args) for c in self.engine_clients)
-        )
+        await self._fanout("delay-model", *args)
         return ()

@@ -233,6 +233,60 @@ def test_delay_model_fanout(loop):
     run(loop, scenario())
 
 
+def test_transient_node_failure_retried(loop):
+    """A node that fails once is retried transparently (fan-out succeeds)."""
+
+    async def scenario():
+        nodes = [FakeNode(fail_times=(1 if i == 1 else 0)) for i in range(3)]
+        for n in nodes:
+            await n.start()
+        servlet = CorrServlet(
+            "corr3",
+            n_antennas=N_ANTS,
+            engine_endpoints=[("127.0.0.1", n.port) for n in nodes],
+            request_retries=1,
+        )
+        await servlet.start()
+        client = await Client("127.0.0.1", servlet.port).connect()
+        await client.request("beam-weights", *([2.0] * N_ANTS))
+        assert all(n.beam_weights_set for n in nodes)
+        assert servlet.sensors["device-status"].value == "ok"
+        await teardown(nodes, servlet, client)
+
+    run(loop, scenario())
+
+
+def test_hung_node_times_out_and_degrades(loop):
+    """A hung engine is bounded by the deadline; healthy nodes still get
+    the update; device-status degrades and recovers."""
+
+    async def scenario():
+        nodes = [FakeNode(hang_s=(0.5 if i == 1 else 0.0)) for i in range(3)]
+        for n in nodes:
+            await n.start()
+        servlet = CorrServlet(
+            "corr3",
+            n_antennas=N_ANTS,
+            engine_endpoints=[("127.0.0.1", n.port) for n in nodes],
+            request_timeout=0.1,
+            request_retries=0,
+        )
+        await servlet.start()
+        client = await Client("127.0.0.1", servlet.port).connect()
+        with pytest.raises(FailReply, match="node1: timeout"):
+            await client.request("beam-weights", *([3.0] * N_ANTS))
+        assert nodes[0].beam_weights_set and nodes[2].beam_weights_set
+        assert not nodes[1].beam_weights_set
+        assert servlet.sensors["device-status"].value == "degraded"
+        nodes[1].hang_s = 0.0
+        await asyncio.sleep(0.6)  # let the hung handler drain its sleep
+        await client.request("beam-weights", *([4.0] * N_ANTS))
+        assert servlet.sensors["device-status"].value == "ok"
+        await teardown(nodes, servlet, client)
+
+    run(loop, scenario())
+
+
 def test_sensor_mirroring_end_to_end(loop):
     async def scenario():
         nodes, servlet, client = await make_fleet()
