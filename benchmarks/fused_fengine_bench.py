@@ -100,7 +100,7 @@ def main(spectra_list):
                     )
                     qr, qi = fengine_fused(
                         frames, win,
-                        fd2 + fd_c * 0.0, ph2,
+                        fd2 + fd_c[:, None] * 0.0, ph2,
                         n_channels=cfg.n_channels, quant_scale=1 / 16,
                     )
                     probe = (
