@@ -91,7 +91,7 @@ def main(which):
             preferred_element_type=jnp.float32,
         )  # [C, P, S, B]
 
-    def bstage(qr, qi, variant):
+    def bstage(qr, qi, cos, sin, variant):
         if variant == "v2":
             qr, qi = lax.optimization_barrier((qr, qi))
         if variant == "v3":
@@ -111,11 +111,14 @@ def main(which):
     def factory(variant):
         def make(n_iters):
             @jax.jit
-            def run(adc_in, fd):
+            def run(adc_in, fd, cos_a, sin_a):
+                # coefficient planes must be arguments: closing over
+                # multi-hundred-MB device arrays bakes them into the
+                # compile request (see bench.py).
                 def body(i, carry):
                     fd_c, acc = carry
                     qr, qi = fstage(adc_in, fd_c)
-                    br = bstage(qr, qi, variant)
+                    br = bstage(qr, qi, cos_a, sin_a, variant)
                     probe = br[0, 0, 0, 0]
                     return (fd_c + probe * 1e-30, acc + probe)
 
@@ -128,7 +131,7 @@ def main(which):
     samples = cfg.n_ants * cfg.n_pols * S * cfg.fft_size
     for v in which:
         try:
-            per, comp = measure(factory(v), (adc, fd0))
+            per, comp = measure(factory(v), (adc, fd0, cos, sin))
             log(f"{v}: {per*1e3:8.2f} ms/iter ({samples/per/1e9:6.1f} Gs/s) "
                 f"[compile {comp:.0f}s]")
         except Exception as e:

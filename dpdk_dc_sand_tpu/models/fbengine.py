@@ -40,6 +40,12 @@ class FBEngine:
         F-engine output requantisation gain.
     precision:
         Beamform precision, ``"f32"`` or ``"bf16"``.
+    beam_quant_scale:
+        When set, beams are requantised to int8 with this gain — the
+        8-bit beam transport format of the production egress (the
+        reference's B-engine feeds 1 KiB 8-bit SPEAD heaps,
+        test_parameters.py:22-25); ``None`` keeps f32 beams
+        (matrix_multiply.py:34-35 contract).
     """
 
     def __init__(
@@ -50,13 +56,25 @@ class FBEngine:
         precision: str = "f32",
         use_pallas: bool | None = None,
         fengine: str = "xla",
+        beam_quant_scale: float | None = None,
     ) -> None:
         if fengine not in ("xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
-        self._coeff_fn = jax.jit(functools.partial(_coeff_blocks, cfg=cfg))
+        # bf16 mode stores the steering planes in bf16 at update time:
+        # the dots then read half the coefficient bytes per step (the
+        # dominant B-stage HBM term at the flagship config) instead of
+        # casting f32 planes in-step (which costs an extra HBM pass —
+        # measured in benchmarks/boundary_variants.py v4).
+        self._coeff_fn = jax.jit(
+            functools.partial(
+                _coeff_blocks,
+                cfg=cfg,
+                dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
+            )
+        )
         self._coeff_blocks = None
         self._coeff_key = None
         self._step = jax.jit(
@@ -69,6 +87,7 @@ class FBEngine:
                 precision=precision,
                 use_pallas=use_pallas,
                 fengine=fengine,
+                beam_quant_scale=beam_quant_scale,
             )
         )
 
@@ -150,7 +169,13 @@ class FBEngine:
         return adc, cd, fd, ph, dv
 
 
-def _coeff_blocks(delay_vals: jax.Array, ant_weights: jax.Array, *, cfg: ArrayConfig):
+def _coeff_blocks(
+    delay_vals: jax.Array,
+    ant_weights: jax.Array,
+    *,
+    cfg: ArrayConfig,
+    dtype=jnp.float32,
+):
     """delay polynomials [B, A, 4] -> steering (cos, sin) [C, B, A] f32.
 
     (The materialised 2x2-block form + single folded dot lowers badly in
@@ -166,7 +191,7 @@ def _coeff_blocks(delay_vals: jax.Array, ant_weights: jax.Array, *, cfg: ArrayCo
         sample_period=cfg.sample_period,
         xeng_id=0,
     )
-    return cos * ant_weights, sin * ant_weights
+    return (cos * ant_weights).astype(dtype), (sin * ant_weights).astype(dtype)
 
 
 def _fb_step(
@@ -183,6 +208,7 @@ def _fb_step(
     precision: str,
     use_pallas: bool | None,
     fengine: str = "xla",
+    beam_quant_scale: float | None = None,
 ) -> jax.Array:
     # ---- F-engine ----
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
@@ -236,4 +262,7 @@ def _fb_step(
     # ---- B-engine: channel-batched planar matmuls with cached coeffs ----
     cos, sin = coeff_blocks
     beam_re, beam_im = beamform_planes(xr, xi, cos, sin, precision)
+    if beam_quant_scale is not None:
+        beam_re = requantise(beam_re, beam_quant_scale)
+        beam_im = requantise(beam_im, beam_quant_scale)
     return jnp.stack([beam_re, beam_im], axis=-1)

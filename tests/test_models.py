@@ -109,6 +109,20 @@ class TestFBEngine:
         np.testing.assert_allclose(got[..., 0], want.real, rtol=1e-4, atol=2e-2)
         np.testing.assert_allclose(got[..., 1], want.imag, rtol=1e-4, atol=2e-2)
 
+    def test_beam_requant_output(self):
+        """8-bit beam transport format: int8 beams = requantised f32 beams."""
+        from dpdk_dc_sand_tpu.golden import requantise as golden_requant
+
+        fb32 = FBEngine(self.cfg, n_spectra=8, use_pallas=False)
+        fb8 = FBEngine(
+            self.cfg, n_spectra=8, use_pallas=False, beam_quant_scale=1 / 8
+        )
+        adc, cd, fd, ph, dv = fb32.example_inputs()
+        beams = np.asarray(fb32(adc, cd, fd, ph, dv))
+        got = np.asarray(fb8(adc, cd, fd, ph, dv))
+        assert got.dtype == np.int8
+        np.testing.assert_array_equal(got, golden_requant(beams, 1 / 8))
+
     def test_coherent_gain_on_aligned_tone(self):
         """Steered beam on an aligned array shows n_ants² power gain."""
         cfg = self.cfg
