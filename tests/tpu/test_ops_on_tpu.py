@@ -106,3 +106,51 @@ def test_fused_pipeline_runs_on_tpu():
 
     assert bool(jnp.isfinite(out).all())
     assert out.shape == (2, 256, 16, 4, 2)
+
+
+def test_fused_fengine_kernel_on_tpu():
+    """Fused F-engine kernel vs composed ops on the chip (both modes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused, fused_supported
+    from dpdk_dc_sand_tpu.ops.pfb import default_window, pfb_channelise
+    from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay
+    from dpdk_dc_sand_tpu.ops.requant import requantise
+
+    A, P, taps, F, S = 4, 2, 16, 2048, 16
+    C = F // 2
+    frames = RNG.integers(-64, 64, size=(A, P, S + taps - 1, F), dtype=np.int8)
+    assert fused_supported(frames.shape, taps, C)
+    win = default_window(taps, F)
+    fd = RNG.uniform(-0.5, 0.5, (A, P)).astype(np.float32)
+    ph = RNG.uniform(-1, 1, (A, P)).astype(np.float32)
+    frames_d = jax.device_put(jnp.asarray(frames))
+    fd_d, ph_d = jnp.asarray(fd), jnp.asarray(ph)
+
+    spec = pfb_channelise(frames_d.reshape(A, P, -1), win, n_channels=C)
+    re, im = apply_fine_delay(
+        jnp.real(spec), jnp.imag(spec), fd_d, ph_d, n_channels=C
+    )
+    qr_ref, qi_ref = requantise(re, 1 / 16), requantise(im, 1 / 16)
+
+    for dt, (max_code, max_frac) in {
+        "float32": (1, 0.001),
+        "bfloat16": (1, 0.25),
+    }.items():
+        qr, qi = fengine_fused(
+            frames_d, win, fd_d, ph_d,
+            n_channels=C, quant_scale=1 / 16, dft_dtype=dt,
+        )
+        dmax = float(
+            jnp.maximum(
+                jnp.abs(qr.astype(jnp.int32) - qr_ref.astype(jnp.int32)).max(),
+                jnp.abs(qi.astype(jnp.int32) - qi_ref.astype(jnp.int32)).max(),
+            )
+        )
+        frac = float(
+            ((qr != qr_ref).astype(jnp.float32).mean()
+             + (qi != qi_ref).astype(jnp.float32).mean()) / 2
+        )
+        assert dmax <= max_code, (dt, dmax)
+        assert frac <= max_frac, (dt, frac)
