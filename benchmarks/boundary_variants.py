@@ -13,6 +13,12 @@ materialisation decision XLA is getting wrong in the full program:
   v3  no transpose: dot_general straight off [A,P,S,C] (batch=C,
       contract=A)
   v4  v1 with bf16 operands (halved weight traffic)
+  v5  flat-batch coarse delay: adc pre-reshaped [A·P, n] so the frame
+      reshape into the pallas FIR is layout-trivial (the OOM dump shows
+      reshape.73 materialising a 790 MB s8 relayout copy because the
+      coarse-delay fusion emits layout {2,0,1})
+  v6  no coarse delay at all (static slice) — bounds the cost of the
+      delay copy + its layout fallout
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/boundary_variants.py [variants]
 """
@@ -73,8 +79,16 @@ def main(which):
     window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
     out_len = (S + cfg.n_taps - 1) * cfg.fft_size
 
-    def fstage(adc_in, fd):
-        aligned = coarse_delay(adc_in, cd, out_len)
+    def fstage(adc_in, fd, variant="v0"):
+        if variant == "v5":
+            flat = adc_in.reshape(cfg.n_ants * cfg.n_pols, -1)
+            aligned = coarse_delay(
+                flat, jnp.repeat(cd, cfg.n_pols), out_len
+            ).reshape(cfg.n_ants, cfg.n_pols, out_len)
+        elif variant == "v6":
+            aligned = adc_in[..., :out_len]
+        else:
+            aligned = coarse_delay(adc_in, cd, out_len)
         spec = pfb_channelise(aligned, window, n_channels=cfg.n_channels)
         re, im = apply_fine_delay(
             jnp.real(spec), jnp.imag(spec), fd[:, None], ph[:, None],
@@ -117,7 +131,7 @@ def main(which):
                 # compile request (see bench.py).
                 def body(i, carry):
                     fd_c, acc = carry
-                    qr, qi = fstage(adc_in, fd_c)
+                    qr, qi = fstage(adc_in, fd_c, variant)
                     br = bstage(qr, qi, cos_a, sin_a, variant)
                     probe = br[0, 0, 0, 0]
                     return (fd_c + probe * 1e-30, acc + probe)

@@ -69,11 +69,14 @@ def main(spectra_list, backends):
                             # full reduction: slice probes let XLA collapse
                             # batched dots / linear stages to one channel
                             probe = out.astype(jnp.float32).sum() * 1e-30
-                            # new "ingested" chunk: data-dependent int8
-                            # perturbation (0 at runtime) defeats hoisting
+                            # new "ingested" chunk: a data-dependent
+                            # single-element in-place update (0 at
+                            # runtime) defeats loop-invariant hoisting
+                            # without the full-array rewrite a real
+                            # double-buffered ingest wouldn't pay
                             bump = probe.astype(jnp.int8)
                             return (
-                                adc_c + bump,
+                                adc_c.at[0, 0, 0].add(bump),
                                 fd_c + probe,
                                 acc + probe,
                             )

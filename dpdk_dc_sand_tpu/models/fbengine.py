@@ -57,6 +57,7 @@ class FBEngine:
         use_pallas: bool | None = None,
         fengine: str = "xla",
         beam_quant_scale: float | None = None,
+        fengine_interpret: bool = False,
     ) -> None:
         if fengine not in ("xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -88,6 +89,7 @@ class FBEngine:
                 use_pallas=use_pallas,
                 fengine=fengine,
                 beam_quant_scale=beam_quant_scale,
+                fengine_interpret=fengine_interpret,
             )
         )
 
@@ -209,6 +211,7 @@ def _fb_step(
     use_pallas: bool | None,
     fengine: str = "xla",
     beam_quant_scale: float | None = None,
+    fengine_interpret: bool = False,
 ) -> jax.Array:
     # ---- F-engine ----
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
@@ -233,6 +236,7 @@ def _fb_step(
             n_channels=cfg.n_channels,
             quant_scale=quant_scale,
             dft_dtype="float32" if fengine == "fused_f32" else "bfloat16",
+            interpret=fengine_interpret,
         )
     else:
         spectra = pfb_channelise(

@@ -88,8 +88,8 @@ def _split_pow2(n: int) -> tuple[int, int]:
     return n1, n2
 
 
-def _pick_s_blk(n_spectra: int) -> int:
-    blk = _S_BLK_MAX
+def _pick_s_blk(n_spectra: int, cap: int = _S_BLK_MAX) -> int:
+    blk = cap
     while blk > 1 and n_spectra % blk:
         blk //= 2
     return blk
@@ -118,8 +118,8 @@ def _fengine_kernel(
     dft1s_ref,  # [N1, N1] stage-A DFT −sin
     dft2c_ref,  # [N2, N2] stage-B DFT cos
     dft2s_ref,  # [N2, N2] stage-B DFT −sin
-    twc_ref,  # [N1, N2] inter-stage twiddle cos
-    tws_ref,  # [N1, N2] inter-stage twiddle −sin
+    twc_ref,  # [N1, s_blk*N2] inter-stage twiddle cos (block-tiled)
+    tws_ref,  # [N1, s_blk*N2] inter-stage twiddle −sin
     untc_ref,  # [N2, N1] DIT-combine cos(πk/N)
     unts_ref,  # [N2, N1] DIT-combine −sin(πk/N)
     sel_ref,  # [2*N2, 2*N2] even/odd selection permutation
@@ -128,6 +128,8 @@ def _fengine_kernel(
     outr_ref,  # [1, s_blk, N2, N1] int8
     outi_ref,  # [1, s_blk, N2, N1] int8
     scratch,  # [2, (s_blk+taps-1)*N1, 2*N2] int8 VMEM
+    ev_ref,  # [N1, s_blk*N2] even-stream staging (dft dtype)
+    od_ref,  # [N1, s_blk*N2] odd-stream staging
     sems,  # DMA semaphores [2]
     *,
     s_blk: int,
@@ -183,7 +185,12 @@ def _fengine_kernel(
     )
     rot_c, rot_s = jnp.cos(rot), jnp.sin(rot)
 
-    tile = scratch[slot]
+    # One int8→bf16 conversion of the whole tile (int8 is exact in bf16):
+    # the sliding FIR reads every input row in up to n_taps slabs, and a
+    # per-slab astype would reconvert each row n_taps times (the kernel
+    # is VPU-bound; measured ~14 ms/step at the flagship config before
+    # this hoist). The multiply-accumulate stays f32.
+    tile = scratch[slot].astype(jnp.bfloat16)
     d1c, d1s = dft1c_ref[:].astype(dft_dtype), dft1s_ref[:].astype(dft_dtype)
     d2c, d2s = dft2c_ref[:].astype(dft_dtype), dft2s_ref[:].astype(dft_dtype)
 
@@ -211,47 +218,48 @@ def _fengine_kernel(
             precision=prec,
         )
 
+    # ---- FIR + deinterleave, staged per spectrum into [N1, s_blk·N2]
+    # scratches so stage A runs as s_blk-batched matmuls (small per-
+    # spectrum matmuls serialise the MXU; batching spectra onto the
+    # column axis keeps it fed).
     for si in range(s_blk):
-        # ---- FIR: one [N1, 2N2] slab per tap, f32 accumulate (VPU) ----
-        acc = (
-            tile[si * n1 : (si + 1) * n1].astype(jnp.float32)
-            * win_ref[0:n1]
-        )
+        # FIR: one [N1, 2N2] slab per tap, f32 accumulate (VPU)
+        acc = tile[si * n1 : (si + 1) * n1] * win_ref[0:n1]
         for tap in range(1, n_taps):
             acc = acc + (
-                tile[(si + tap) * n1 : (si + tap + 1) * n1].astype(jnp.float32)
+                tile[(si + tap) * n1 : (si + tap + 1) * n1]
                 * win_ref[tap * n1 : (tap + 1) * n1]
             )
+        # even/odd sample streams via a selection matmul: Mosaic has no
+        # strided-lane slice / trailing-2 shape cast; a permutation
+        # matmul on the MXU is exact (one unit term per output).
+        deint = dot(acc.astype(dft_dtype), sel_ref[:].astype(dft_dtype))
+        ev_ref[:, si * n2 : (si + 1) * n2] = deint[:, :n2].astype(ev_ref.dtype)
+        od_ref[:, si * n2 : (si + 1) * n2] = deint[:, n2:].astype(od_ref.dtype)
 
-        # ---- even/odd sample streams via a selection matmul ----
-        # Mosaic has no strided-lane slice / trailing-2 shape cast; a
-        # permutation matmul on the MXU is exact (one unit term per
-        # output) and far off the critical path.
-        deint = dot(
-            acc.astype(dft_dtype), sel_ref[:].astype(dft_dtype)
-        )  # [N1, 2N2]: even stream in lanes [:N2], odd in [N2:]
-        ev = deint[:, :n2].astype(dft_dtype)  # [N1, N2]
-        od = deint[:, n2:].astype(dft_dtype)
+    # ---- stage A, batched over the spectra block (4 matmuls of
+    # [N1, N1] @ [N1, s_blk·N2]) + twiddle on pre-tiled grids ----
+    def stage_a(x_ref):
+        x = x_ref[:]
+        ar, ai = dot(d1c, x), dot(d1s, x)
+        tr = ar * twc_ref[:] - ai * tws_ref[:]
+        ti = ar * tws_ref[:] + ai * twc_ref[:]
+        return tr.astype(dft_dtype), ti.astype(dft_dtype)
 
-        def dft_n(x):
-            """Two-stage length-N DFT of a real [N1, N2] input.
+    etr, eti = stage_a(ev_ref)
+    otr, oti = stage_a(od_ref)
 
-            Returns (re, im) in the transposed [k2, k1] channel grid,
-            k = k2·N1 + k1.
-            """
-            # stage A: [N1 DFT] @ x — x real, so 2 matmuls
-            ar, ai = dot(d1c, x), dot(d1s, x)
-            # inter-stage twiddle W_N^{k1·c}
-            tr = ar * twc_ref[:] - ai * tws_ref[:]
-            ti = ar * tws_ref[:] + ai * twc_ref[:]
-            trd, tid = tr.astype(dft_dtype), ti.astype(dft_dtype)
-            # stage B, transposed out: X[k2, k1] = Σ_c F2[k2,c]·T[k1,c]
-            re = dot_t(d2c, trd) - dot_t(d2s, tid)
-            im = dot_t(d2c, tid) + dot_t(d2s, trd)
+    for si in range(s_blk):
+        sl = slice(si * n2, (si + 1) * n2)
+
+        def stage_b(tr, ti):
+            # transposed out: X[k2, k1] = Σ_c F2[k2,c]·T[k1,c]
+            re = dot_t(d2c, tr[:, sl]) - dot_t(d2s, ti[:, sl])
+            im = dot_t(d2c, ti[:, sl]) + dot_t(d2s, tr[:, sl])
             return re, im
 
-        er, ei = dft_n(ev)
-        orr, oi = dft_n(od)
+        er, ei = stage_b(etr, eti)
+        orr, oi = stage_b(otr, oti)
 
         # ---- DIT combine: X[k] = E[k] + W_{2N}^k · O[k] ----
         xr = er + untc_ref[:] * orr - unts_ref[:] * oi
@@ -275,6 +283,7 @@ def _fengine_kernel(
         "n_channels_total",
         "dft_dtype",
         "interpret",
+        "s_blk",
     ),
 )
 def fengine_fused(
@@ -289,6 +298,7 @@ def fengine_fused(
     n_channels_total: int | None = None,
     dft_dtype: str = "bfloat16",
     interpret: bool = False,
+    s_blk: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -322,7 +332,7 @@ def fengine_fused(
     n_spectra = n_frames - n_taps + 1
     n = fft_size // 2
     n1, n2 = _split_pow2(n)
-    s_blk = _pick_s_blk(n_spectra)
+    s_blk = _pick_s_blk(n_spectra, s_blk or _S_BLK_MAX)
 
     batch = 1
     for d in lead:
@@ -350,7 +360,8 @@ def fengine_fused(
     consts = [
         np.cos(a1), -np.sin(a1),
         np.cos(a2), -np.sin(a2),
-        np.cos(atw), -np.sin(atw),
+        # twiddles pre-tiled across the spectra block (stage A is batched)
+        np.tile(np.cos(atw), (1, s_blk)), np.tile(-np.sin(atw), (1, s_blk)),
         np.cos(aun), -np.sin(aun),
         sel,
     ]
@@ -404,6 +415,8 @@ def fengine_fused(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, rows, 2 * n2), frames.dtype),
+            pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype)),
+            pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -68,7 +68,11 @@ class ShardedFBEngine:
         use_pallas: bool | None = None,
         emit_visibilities: bool = False,
         scatter_beams: bool = False,
+        fengine: str = "xla",
+        fengine_interpret: bool = False,
     ) -> None:
+        if fengine not in ("xla", "fused", "fused_f32"):
+            raise ValueError(f"unknown fengine backend {fengine!r}")
         ant_size = mesh.shape["ant"]
         time_size = mesh.shape["time"]
         if cfg.n_ants % ant_size:
@@ -98,6 +102,8 @@ class ShardedFBEngine:
             use_pallas=use_pallas,
             emit_visibilities=emit_visibilities,
             scatter_beams=scatter_beams,
+            fengine=fengine,
+            fengine_interpret=fengine_interpret,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
@@ -213,6 +219,8 @@ def _sharded_fb_body(
     use_pallas: bool | None,
     emit_visibilities: bool = False,
     scatter_beams: bool = False,
+    fengine: str = "xla",
+    fengine_interpret: bool = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -220,21 +228,41 @@ def _sharded_fb_body(
     ext = jnp.concatenate([halo, adc_l], axis=-1)
 
     # 2. Local F-stage.
-    spectra = pfb_channelise(
-        ext, window, n_channels=cfg.n_channels, use_pallas=use_pallas
-    )  # [A_loc, P, S_loc, C]
-    re, im = apply_fine_delay(
-        jnp.real(spectra),
-        jnp.imag(spectra),
-        frac_l[:, None],
-        phase_l[:, None],
-        n_channels=cfg.n_channels,
-    )
-    # (re, im) stay separate int8 planes through the F→B handoff — the
-    # trailing-2 stack forces padded tiled layouts whose copies
-    # back-propagate through the FFT chain (benchmarks/fuse_boundary2.py).
-    qr = requantise(re, quant_scale)  # [A_loc, P, S_loc, C] int8
-    qi = requantise(im, quant_scale)
+    if fengine != "xla":
+        # Fused Pallas F chain (ops/fengine_pallas.py) — the honest-
+        # streaming fast path on TPU (XLA's rFFT materialises ~GB
+        # four-step temps; see ROADMAP). Each shard channelises the
+        # full band for its time slice, so no channel offset here.
+        from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
+
+        n_ants_loc = ext.shape[0]
+        frames = ext.reshape(n_ants_loc, cfg.n_pols, -1, cfg.fft_size)
+        qr, qi = fengine_fused(
+            frames,
+            window,
+            jnp.broadcast_to(frac_l[:, None], (n_ants_loc, cfg.n_pols)),
+            jnp.broadcast_to(phase_l[:, None], (n_ants_loc, cfg.n_pols)),
+            n_channels=cfg.n_channels,
+            quant_scale=quant_scale,
+            dft_dtype="float32" if fengine == "fused_f32" else "bfloat16",
+            interpret=fengine_interpret,
+        )  # [A_loc, P, S_loc, C] int8 planes
+    else:
+        spectra = pfb_channelise(
+            ext, window, n_channels=cfg.n_channels, use_pallas=use_pallas
+        )  # [A_loc, P, S_loc, C]
+        re, im = apply_fine_delay(
+            jnp.real(spectra),
+            jnp.imag(spectra),
+            frac_l[:, None],
+            phase_l[:, None],
+            n_channels=cfg.n_channels,
+        )
+        # (re, im) stay separate int8 planes through the F→B handoff — the
+        # trailing-2 stack forces padded tiled layouts whose copies
+        # back-propagate through the FFT chain (benchmarks/fuse_boundary2.py).
+        qr = requantise(re, quant_scale)  # [A_loc, P, S_loc, C] int8
+        qi = requantise(im, quant_scale)
 
     # 3. Distributed corner turn: spectra-sharding -> channel-sharding.
     ar = lax.all_to_all(qr, "time", split_axis=3, concat_axis=2, tiled=True)

@@ -173,3 +173,32 @@ def test_scatter_beams_rejects_indivisible():
             n_spectra=16,
             scatter_beams=True,
         )
+
+
+def test_sharded_fused_fengine_matches_single_chip_fused():
+    """Fused Pallas F-stage inside shard_map ≡ same kernel single-chip.
+
+    Interpret-mode kernel on the 8-device CPU mesh; the same kernel runs
+    on both sides so the int8 handoff is identical and beams agree to
+    beamform tolerance. (Comparing against the XLA FFT instead leaves
+    ±1-code requant ties — covered by tests/test_fengine_fused.py.)
+    """
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=512, n_beams=4, n_taps=4)
+    n_spectra = 16
+    fused = ShardedFBEngine(
+        cfg, mesh, n_spectra=n_spectra,
+        fengine="fused_f32", fengine_interpret=True,
+    )
+    adc, fd, ph, dv = fused.example_inputs()
+    got = np.asarray(fused(adc, fd, ph, dv))
+
+    halo = (cfg.n_taps - 1) * cfg.fft_size
+    adc_ext = np.concatenate([adc[..., -halo:], adc], axis=-1)
+    fb = FBEngine(
+        cfg, n_spectra=n_spectra, fengine="fused_f32", fengine_interpret=True
+    )
+    want = np.asarray(
+        fb(adc_ext, np.zeros(cfg.n_ants, np.int32), fd, ph, dv)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
