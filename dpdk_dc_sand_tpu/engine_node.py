@@ -58,12 +58,25 @@ class EngineNode(DeviceServer):
         ring_slots: int = 8,
         on_beams: Optional[Callable[[np.ndarray, int], None]] = None,
         use_pallas: bool | None = None,
+        fengine: str = "xla",
+        beam_quant_scale: float | None = None,
     ) -> None:
         super().__init__(host, port)
         self.cfg = cfg
         self.margin = margin
         self.on_beams = on_beams or (lambda beams, seq: None)
-        self.fb = FBEngine(cfg, n_spectra=n_spectra, use_pallas=use_pallas)
+        #: When set, the device requantises beams to int8 before they
+        #: leave HBM (the 8-bit SPEAD beam transport format,
+        #: test_parameters.py:22-25) — 4x less egress bandwidth and no
+        #: host-side requantise pass.
+        self.beam_quant_scale = beam_quant_scale
+        self.fb = FBEngine(
+            cfg,
+            n_spectra=n_spectra,
+            use_pallas=use_pallas,
+            fengine=fengine,
+            beam_quant_scale=beam_quant_scale,
+        )
         self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
         chunk_bytes = int(np.prod(self.chunk_shape))
         # +16 headroom for the UDP receiver's timestamp/channel metadata
@@ -167,16 +180,20 @@ class EngineNode(DeviceServer):
         self._udp_rx = UdpReceiver(bind, self.ring, group=group).start()
         return self._udp_rx
 
-    def attach_udp_egress(self, dest, scale: float = 0.25):
+    def attach_udp_egress(self, dest, scale: float | None = 0.25):
         """Transmit beams as int8 SPEAD-lite heaps over UDP.
 
-        Returns the sender; replaces ``on_beams``.
+        Returns the sender; replaces ``on_beams``. When the node was built
+        with ``beam_quant_scale`` the device already emits int8 beams and
+        ``scale`` is ignored (payload ships as-is).
         """
         from dpdk_dc_sand_tpu.stream.feed import UdpBeamEgress
         from dpdk_dc_sand_tpu.stream.udp import UdpSender
 
         self._udp_tx = UdpSender(dest)
         samples_per_chunk = self.fb.n_spectra * self.cfg.fft_size
+        if self.beam_quant_scale is not None:
+            scale = None
         self.on_beams = UdpBeamEgress(self._udp_tx, samples_per_chunk, scale)
         return self._udp_tx
 

@@ -137,16 +137,29 @@ class UdpBeamEgress:
     as one SPEAD-lite heap per step with the step's ADC timestamp.
     """
 
-    def __init__(self, sender, samples_per_chunk: int, scale: float = 0.25):
+    def __init__(
+        self, sender, samples_per_chunk: int, scale: float | None = 0.25
+    ):
         self.sender = sender
         self.samples_per_chunk = samples_per_chunk
+        #: Host-side requantisation gain; ``None`` means the beams arrive
+        #: already int8 (device-side ``FBEngine(beam_quant_scale=…)``) and
+        #: ship as-is — no extra host pass over the payload.
         self.scale = scale
 
     def __call__(self, beams: np.ndarray, seq: int) -> None:
         from dpdk_dc_sand_tpu.golden.requant import requantise
         from dpdk_dc_sand_tpu.stream.chunk import Chunk
 
-        payload = requantise(beams, self.scale).ravel()
+        if self.scale is None:
+            if beams.dtype != np.int8:
+                raise TypeError(
+                    "scale=None expects device-quantised int8 beams, got "
+                    f"{beams.dtype}"
+                )
+            payload = beams.ravel()
+        else:
+            payload = requantise(beams, self.scale).ravel()
         self.sender.send_chunk(
             Chunk(
                 payload.view(np.uint8),

@@ -183,6 +183,57 @@ def test_beam_weights_scale_output():
     run(scenario())
 
 
+def test_device_quantised_beam_output():
+    """beam_quant_scale: device emits int8 beams == host requant of f32."""
+    from dpdk_dc_sand_tpu.golden.requant import requantise
+    from dpdk_dc_sand_tpu.stream.feed import UdpBeamEgress
+
+    async def scenario():
+        f32_out, int8_out = [], []
+        node_f32 = EngineNode(
+            CFG, n_spectra=8, on_beams=lambda b, s: f32_out.append(b),
+            use_pallas=False,
+        )
+        node_i8 = EngineNode(
+            CFG, n_spectra=8, on_beams=lambda b, s: int8_out.append(b),
+            use_pallas=False, beam_quant_scale=0.25,
+        )
+        await node_f32.start()
+        await node_i8.start()
+        try:
+            chunk = make_chunk(11, node_f32)
+            node_f32.submit_chunk(chunk, 0)
+            node_i8.submit_chunk(chunk, 0)
+            assert await wait_for(
+                lambda: len(f32_out) == 1 and len(int8_out) == 1, timeout=60
+            )
+            assert int8_out[0].dtype == np.int8
+            np.testing.assert_array_equal(
+                int8_out[0], requantise(f32_out[0], 0.25)
+            )
+        finally:
+            await node_f32.stop()
+            await node_i8.stop()
+
+    run(scenario())
+
+    # egress wiring: int8-node egress ships device bytes untouched
+    sent = []
+
+    class FakeSender:
+        def send_chunk(self, chunk):
+            sent.append(chunk)
+
+    egress = UdpBeamEgress(FakeSender(), samples_per_chunk=16, scale=None)
+    beams = np.arange(-8, 8, dtype=np.int8).reshape(4, 4)
+    egress(beams, seq=3)
+    np.testing.assert_array_equal(
+        np.asarray(sent[0].payload).view(np.int8), beams.ravel()
+    )
+    with pytest.raises(TypeError):
+        egress(beams.astype(np.float32), seq=4)
+
+
 def test_udp_ingest_to_udp_egress_end_to_end():
     """ADC heaps in over UDP -> pipeline -> beam heaps out over UDP."""
     from dpdk_dc_sand_tpu.stream import Chunk, ChunkRing, UdpReceiver, UdpSender
