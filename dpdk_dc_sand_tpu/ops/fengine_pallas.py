@@ -68,7 +68,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: Spectra computed per grid step (bounds VMEM: FIR slab + temporaries).
-_S_BLK_MAX = 8
+#: 16 measured ~6% faster than 8 at the flagship config (fewer grid
+#: steps, better stage-A batching; benchmarks/fused_tune.py).
+_S_BLK_MAX = 16
 #: Sublane alignment required of manual DMA slices (Mosaic tiled memrefs).
 _ROW_ALIGN = 8
 
@@ -88,6 +90,26 @@ def _split_pow2(n: int) -> tuple[int, int]:
     return n1, n2
 
 
+def _deint_mode(n: int) -> tuple[str, int, int]:
+    """Pick the even/odd deinterleave strategy and the N1·N2 split.
+
+    ``bitcast``: the wrapper bitcasts int8 sample pairs to int16 (a
+    layout no-op — little-endian low byte = even sample) and the kernel
+    extracts the two streams with int16 shifts on the VPU. Needs
+    ``n2 >= 128`` (int16 lane alignment) and ``n1 % 8 == 0``.
+
+    ``matmul``: the interleaved int8 view with a [2N2, 2N2] selection
+    permutation on the MXU — ~20% extra MXU MACs, kept for shapes too
+    small for the bitcast view.
+    """
+    n1b, n2b = _split_pow2(n)
+    if n2b < 128 and n >= 8 * 128:
+        n1b, n2b = n // 128, 128
+    if n2b >= 128 and n1b % _ROW_ALIGN == 0:
+        return "bitcast", n1b, n2b
+    return ("matmul", *_split_pow2(n))
+
+
 def _pick_s_blk(n_spectra: int, cap: int = _S_BLK_MAX) -> int:
     blk = cap
     while blk > 1 and n_spectra % blk:
@@ -105,15 +127,16 @@ def fused_supported(frames_shape: tuple[int, ...], n_taps: int, n_channels: int)
     n_spectra = n_frames - n_taps + 1
     if n_spectra < 1:
         return False
-    n1, n2 = _split_pow2(fft_size // 2)
+    _, n1, n2 = _deint_mode(fft_size // 2)
     # Manual DMA row slices must be 8-aligned (rows move in units of N1)
     # and the frame view needs >=128 int8 lanes (2*n2).
     return n1 % _ROW_ALIGN == 0 and n2 >= 64
 
 
 def _fengine_kernel(
-    frames_hbm,  # [B, n_frames*N1, 2*N2] int8, HBM/ANY
-    win_ref,  # [n_taps*N1, 2*N2] f32 VMEM
+    frames_hbm,  # matmul: [B, n_frames*N1, 2*N2] int8; bitcast: […, N2] i16
+    wina_ref,  # matmul: PFB window [n_taps*N1, 2*N2] f32; bitcast: even half
+    winb_ref,  # matmul: [2*N2, 2*N2] even/odd selection; bitcast: odd window
     dft1c_ref,  # [N1, N1] stage-A DFT cos
     dft1s_ref,  # [N1, N1] stage-A DFT −sin
     dft2c_ref,  # [N2, N2] stage-B DFT cos
@@ -122,12 +145,11 @@ def _fengine_kernel(
     tws_ref,  # [N1, s_blk*N2] inter-stage twiddle −sin
     untc_ref,  # [N2, N1] DIT-combine cos(πk/N)
     unts_ref,  # [N2, N1] DIT-combine −sin(πk/N)
-    sel_ref,  # [2*N2, 2*N2] even/odd selection permutation
     fd_ref,  # [batch, 1] f32 SMEM: per-batch fractional delay
     ph_ref,  # [batch, 1] f32 SMEM: per-batch phase
     outr_ref,  # [1, s_blk, N2, N1] int8
     outi_ref,  # [1, s_blk, N2, N1] int8
-    scratch,  # [2, (s_blk+taps-1)*N1, 2*N2] int8 VMEM
+    scratch,  # [2, (s_blk+taps-1)*N1, lanes] input-dtype VMEM
     ev_ref,  # [N1, s_blk*N2] even-stream staging (dft dtype)
     od_ref,  # [N1, s_blk*N2] odd-stream staging
     sems,  # DMA semaphores [2]
@@ -140,6 +162,7 @@ def _fengine_kernel(
     channel_offset: int,
     quant_scale: float,
     dft_dtype,
+    deint: str,
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -185,12 +208,6 @@ def _fengine_kernel(
     )
     rot_c, rot_s = jnp.cos(rot), jnp.sin(rot)
 
-    # One int8→bf16 conversion of the whole tile (int8 is exact in bf16):
-    # the sliding FIR reads every input row in up to n_taps slabs, and a
-    # per-slab astype would reconvert each row n_taps times (the kernel
-    # is VPU-bound; measured ~14 ms/step at the flagship config before
-    # this hoist). The multiply-accumulate stays f32.
-    tile = scratch[slot].astype(jnp.bfloat16)
     d1c, d1s = dft1c_ref[:].astype(dft_dtype), dft1s_ref[:].astype(dft_dtype)
     d2c, d2s = dft2c_ref[:].astype(dft_dtype), dft2s_ref[:].astype(dft_dtype)
 
@@ -222,20 +239,53 @@ def _fengine_kernel(
     # scratches so stage A runs as s_blk-batched matmuls (small per-
     # spectrum matmuls serialise the MXU; batching spectra onto the
     # column axis keeps it fed).
-    for si in range(s_blk):
-        # FIR: one [N1, 2N2] slab per tap, f32 accumulate (VPU)
-        acc = tile[si * n1 : (si + 1) * n1] * win_ref[0:n1]
-        for tap in range(1, n_taps):
-            acc = acc + (
-                tile[(si + tap) * n1 : (si + tap + 1) * n1]
-                * win_ref[tap * n1 : (tap + 1) * n1]
+    if deint == "bitcast":
+        # Even/odd sample streams by byte extraction: the wrapper
+        # bitcast the int8 pairs to int16 (low byte = even sample), so
+        # two VPU shifts replace the [2N2, 2N2] selection matmul (~20%
+        # of the kernel's MXU MACs). The FIR (elementwise in the
+        # in-frame index) commutes with the deinterleave, so it runs on
+        # the split planes with split windows. One conversion of the
+        # whole tile (the sliding FIR reads every row up to n_taps
+        # times; per-slab astype would reconvert each row n_taps times).
+        # Shifts run at int32 — Mosaic has no 16-bit shift lowering.
+        v = scratch[slot].astype(jnp.int32)
+        tile_e = ((v << 24) >> 24).astype(jnp.bfloat16)
+        tile_o = (v >> 8).astype(jnp.bfloat16)
+        for si in range(s_blk):
+            acc_e = tile_e[si * n1 : (si + 1) * n1] * wina_ref[0:n1]
+            acc_o = tile_o[si * n1 : (si + 1) * n1] * winb_ref[0:n1]
+            for tap in range(1, n_taps):
+                rows_t = slice((si + tap) * n1, (si + tap + 1) * n1)
+                wrows = slice(tap * n1, (tap + 1) * n1)
+                acc_e = acc_e + tile_e[rows_t] * wina_ref[wrows]
+                acc_o = acc_o + tile_o[rows_t] * winb_ref[wrows]
+            cols = slice(si * n2, (si + 1) * n2)
+            ev_ref[:, cols] = acc_e.astype(ev_ref.dtype)
+            od_ref[:, cols] = acc_o.astype(od_ref.dtype)
+    else:
+        # One int8→bf16 conversion of the whole tile (int8 is exact in
+        # bf16); the multiply-accumulate stays f32.
+        tile = scratch[slot].astype(jnp.bfloat16)
+        for si in range(s_blk):
+            # FIR: one [N1, 2N2] slab per tap, f32 accumulate (VPU)
+            acc = tile[si * n1 : (si + 1) * n1] * wina_ref[0:n1]
+            for tap in range(1, n_taps):
+                acc = acc + (
+                    tile[(si + tap) * n1 : (si + tap + 1) * n1]
+                    * wina_ref[tap * n1 : (tap + 1) * n1]
+                )
+            # even/odd sample streams via a selection matmul: Mosaic has
+            # no strided-lane slice / trailing-2 shape cast; a
+            # permutation matmul on the MXU is exact (one unit term per
+            # output).
+            deintr = dot(acc.astype(dft_dtype), winb_ref[:].astype(dft_dtype))
+            ev_ref[:, si * n2 : (si + 1) * n2] = deintr[:, :n2].astype(
+                ev_ref.dtype
             )
-        # even/odd sample streams via a selection matmul: Mosaic has no
-        # strided-lane slice / trailing-2 shape cast; a permutation
-        # matmul on the MXU is exact (one unit term per output).
-        deint = dot(acc.astype(dft_dtype), sel_ref[:].astype(dft_dtype))
-        ev_ref[:, si * n2 : (si + 1) * n2] = deint[:, :n2].astype(ev_ref.dtype)
-        od_ref[:, si * n2 : (si + 1) * n2] = deint[:, n2:].astype(od_ref.dtype)
+            od_ref[:, si * n2 : (si + 1) * n2] = deintr[:, n2:].astype(
+                od_ref.dtype
+            )
 
     # ---- stage A, batched over the spectra block (4 matmuls of
     # [N1, N1] @ [N1, s_blk·N2]) + twiddle on pre-tiled grids ----
@@ -331,14 +381,24 @@ def fengine_fused(
         n_channels_total = n_channels
     n_spectra = n_frames - n_taps + 1
     n = fft_size // 2
-    n1, n2 = _split_pow2(n)
+    deint, n1, n2 = _deint_mode(n)
     s_blk = _pick_s_blk(n_spectra, s_blk or _S_BLK_MAX)
 
     batch = 1
     for d in lead:
         batch *= d
-    fr = frames.reshape(batch, n_frames * n1, 2 * n2)
-    win = window.astype(jnp.float32).reshape(n_taps * n1, 2 * n2)
+    winf = window.astype(jnp.float32)
+    if deint == "bitcast":
+        # Little-endian pair bitcast: low byte = even sample (a layout
+        # no-op in XLA); the kernel splits the streams with VPU shifts.
+        fr = jax.lax.bitcast_convert_type(
+            frames.reshape(batch, n_frames, n, 2), jnp.int16
+        ).reshape(batch, n_frames * n1, n2)
+        wina = winf[:, 0::2].reshape(n_taps * n1, n2)
+        winb = winf[:, 1::2].reshape(n_taps * n1, n2)
+    else:
+        fr = frames.reshape(batch, n_frames * n1, 2 * n2)
+        wina = winf.reshape(n_taps * n1, 2 * n2)
     fd = jnp.broadcast_to(
         jnp.asarray(frac_delay, jnp.float32), tuple(lead)
     ).reshape(batch, 1)
@@ -354,16 +414,17 @@ def fengine_fused(
     atw = 2 * np.pi * np.outer(k1, k2) / n
     kk = (k2[:, None] * n1 + k1[None, :]).astype(np.float64)
     aun = np.pi * kk / n
-    sel = np.zeros((2 * n2, 2 * n2))
-    sel[2 * k2, k2] = 1.0  # even lanes -> [:N2]
-    sel[2 * k2 + 1, n2 + k2] = 1.0  # odd lanes -> [N2:]
+    if deint != "bitcast":
+        sel = np.zeros((2 * n2, 2 * n2))
+        sel[2 * k2, k2] = 1.0  # even lanes -> [:N2]
+        sel[2 * k2 + 1, n2 + k2] = 1.0  # odd lanes -> [N2:]
+        winb = jnp.asarray(sel, jnp.float32)
     consts = [
         np.cos(a1), -np.sin(a1),
         np.cos(a2), -np.sin(a2),
         # twiddles pre-tiled across the spectra block (stage A is batched)
         np.tile(np.cos(atw), (1, s_blk)), np.tile(-np.sin(atw), (1, s_blk)),
         np.cos(aun), -np.sin(aun),
-        sel,
     ]
     consts = [jnp.asarray(c, jnp.float32) for c in consts]
 
@@ -384,14 +445,16 @@ def fengine_fused(
             channel_offset=channel_offset,
             quant_scale=quant_scale,
             dft_dtype=jnp.dtype(dft_dtype),
+            deint=deint,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (n_taps * n1, 2 * n2),
-                lambda b, s: (0, 0),
-                memory_space=pltpu.VMEM,
+                wina.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                winb.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM
             ),
             *const_specs,
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -414,7 +477,7 @@ def fengine_fused(
             jax.ShapeDtypeStruct((batch, n_spectra, n2, n1), jnp.int8),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, 2 * n2), frames.dtype),
+            pltpu.VMEM((2, rows, fr.shape[-1]), fr.dtype),
             pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype)),
             pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -423,6 +486,6 @@ def fengine_fused(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(fr, win, *consts, fd, ph)
+    )(fr, wina, winb, *consts, fd, ph)
     shape = (*lead, n_spectra, n_channels)
     return qr.reshape(shape), qi.reshape(shape)

@@ -25,23 +25,29 @@ C = F // 2
 SCALE = 1 / 16
 
 
-def _inputs(seed=2021):
+def _inputs(seed=2021, f=F):
     rng = np.random.default_rng(seed)
     n_frames = S + TAPS - 1
-    frames = rng.integers(-64, 64, size=(A, P, n_frames, F), dtype=np.int8)
+    frames = rng.integers(-64, 64, size=(A, P, n_frames, f), dtype=np.int8)
     fd = rng.uniform(-0.5, 0.5, (A, P)).astype(np.float32)
     ph = rng.uniform(-1, 1, (A, P)).astype(np.float32)
     return frames, fd, ph
 
 
 def _reference(frames, fd, ph):
+    f = frames.shape[-1]
     samples = jnp.asarray(frames).reshape(A, P, -1)
-    spec = pfb_channelise(samples, default_window(TAPS, F), n_channels=C,
+    spec = pfb_channelise(samples, default_window(TAPS, f), n_channels=f // 2,
                           use_pallas=False)
     re, im = apply_fine_delay(
-        jnp.real(spec), jnp.imag(spec), fd, ph, n_channels=C
+        jnp.real(spec), jnp.imag(spec), fd, ph, n_channels=f // 2
     )
     return np.asarray(requantise(re, SCALE)), np.asarray(requantise(im, SCALE))
+
+
+# F=1024 exercises the selection-matmul deinterleave; F=2048 the int16
+# bitcast path (ops/fengine_pallas._deint_mode).
+MODES = [pytest.param(1024, id="matmul"), pytest.param(2048, id="bitcast")]
 
 
 def test_supported_shapes():
@@ -51,24 +57,35 @@ def test_supported_shapes():
     assert not fused_supported((A, P, S + TAPS - 1, 256), TAPS, 128)
 
 
-def test_fused_f32_matches_composed_ops():
-    frames, fd, ph = _inputs()
+@pytest.mark.parametrize("f", MODES)
+def test_fused_f32_matches_composed_ops(f):
+    """f32 DFT vs XLA FFT: same int8 codes except requant ties.
+
+    The two are different exact-arithmetic factorisations of the same
+    transform; f32 rounding can land an output on an int8 rounding
+    boundary, so allow ±1 code on a vanishing fraction of elements
+    (zero at F=1024, 1/98304 at F=2048).
+    """
+    frames, fd, ph = _inputs(f=f)
     qr_ref, qi_ref = _reference(frames, fd, ph)
     qr, qi = fengine_fused(
-        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
-        jnp.asarray(ph), n_channels=C, quant_scale=SCALE,
+        jnp.asarray(frames), default_window(TAPS, f), jnp.asarray(fd),
+        jnp.asarray(ph), n_channels=f // 2, quant_scale=SCALE,
         dft_dtype="float32", interpret=True,
     )
-    np.testing.assert_array_equal(np.asarray(qr), qr_ref)
-    np.testing.assert_array_equal(np.asarray(qi), qi_ref)
+    for got, ref in ((qr, qr_ref), (qi, qi_ref)):
+        d = np.abs(np.asarray(got, np.int32) - ref.astype(np.int32))
+        assert d.max() <= 1
+        assert (d != 0).mean() <= 1e-4
 
 
-def test_fused_bf16_within_one_code():
-    frames, fd, ph = _inputs(7)
+@pytest.mark.parametrize("f", MODES)
+def test_fused_bf16_within_one_code(f):
+    frames, fd, ph = _inputs(7, f=f)
     qr_ref, qi_ref = _reference(frames, fd, ph)
     qr, qi = fengine_fused(
-        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
-        jnp.asarray(ph), n_channels=C, quant_scale=SCALE,
+        jnp.asarray(frames), default_window(TAPS, f), jnp.asarray(fd),
+        jnp.asarray(ph), n_channels=f // 2, quant_scale=SCALE,
         dft_dtype="bfloat16", interpret=True,
     )
     dr = np.abs(np.asarray(qr, np.int32) - qr_ref.astype(np.int32))
