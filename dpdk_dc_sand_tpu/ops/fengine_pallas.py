@@ -90,23 +90,29 @@ def _split_pow2(n: int) -> tuple[int, int]:
     return n1, n2
 
 
-def _deint_mode(n: int) -> tuple[str, int, int]:
+def _deint_mode(n: int, deint: str = "auto") -> tuple[str, int, int]:
     """Pick the even/odd deinterleave strategy and the N1·N2 split.
+
+    ``matmul`` (the default): the interleaved int8 view with a
+    [2N2, 2N2] selection permutation on the MXU — ~20% extra MXU MACs,
+    but **measured 2.7× faster end-to-end** than the bitcast variant at
+    the flagship config (benchmarks/fused_tune.py, 2026-08: 14.5 vs
+    38.8 ms at S=32): the MXU has the headroom, while the bitcast's
+    int16→int32 widening + shifts pay two sublane-packing relayouts of
+    the whole tile on the VPU, which is the kernel's critical path.
 
     ``bitcast``: the wrapper bitcasts int8 sample pairs to int16 (a
     layout no-op — little-endian low byte = even sample) and the kernel
-    extracts the two streams with int16 shifts on the VPU. Needs
-    ``n2 >= 128`` (int16 lane alignment) and ``n1 % 8 == 0``.
-
-    ``matmul``: the interleaved int8 view with a [2N2, 2N2] selection
-    permutation on the MXU — ~20% extra MXU MACs, kept for shapes too
-    small for the bitcast view.
+    extracts the two streams with int32 shifts on the VPU. Needs
+    ``n2 >= 128`` (int16 lane alignment) and ``n1 % 8 == 0``. Kept for
+    MXU-starved configurations and as the measured record.
     """
-    n1b, n2b = _split_pow2(n)
-    if n2b < 128 and n >= 8 * 128:
-        n1b, n2b = n // 128, 128
-    if n2b >= 128 and n1b % _ROW_ALIGN == 0:
-        return "bitcast", n1b, n2b
+    if deint == "bitcast":
+        n1b, n2b = _split_pow2(n)
+        if n2b < 128 and n >= 8 * 128:
+            n1b, n2b = n // 128, 128
+        if n2b >= 128 and n1b % _ROW_ALIGN == 0:
+            return "bitcast", n1b, n2b
     return ("matmul", *_split_pow2(n))
 
 
@@ -334,6 +340,7 @@ def _fengine_kernel(
         "dft_dtype",
         "interpret",
         "s_blk",
+        "deint",
     ),
 )
 def fengine_fused(
@@ -349,6 +356,7 @@ def fengine_fused(
     dft_dtype: str = "bfloat16",
     interpret: bool = False,
     s_blk: int | None = None,
+    deint: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -381,7 +389,7 @@ def fengine_fused(
         n_channels_total = n_channels
     n_spectra = n_frames - n_taps + 1
     n = fft_size // 2
-    deint, n1, n2 = _deint_mode(n)
+    deint, n1, n2 = _deint_mode(n, deint)
     s_blk = _pick_s_blk(n_spectra, s_blk or _S_BLK_MAX)
 
     batch = 1

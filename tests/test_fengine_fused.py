@@ -45,9 +45,13 @@ def _reference(frames, fd, ph):
     return np.asarray(requantise(re, SCALE)), np.asarray(requantise(im, SCALE))
 
 
-# F=1024 exercises the selection-matmul deinterleave; F=2048 the int16
-# bitcast path (ops/fengine_pallas._deint_mode).
-MODES = [pytest.param(1024, id="matmul"), pytest.param(2048, id="bitcast")]
+# (f, deint) pairs: the selection-matmul deinterleave (the measured-faster
+# default) and the int16-bitcast variant, which needs fft >= 2048 for its
+# 128-lane int16 view (ops/fengine_pallas._deint_mode).
+MODES = [
+    pytest.param(1024, "auto", id="matmul"),
+    pytest.param(2048, "bitcast", id="bitcast"),
+]
 
 
 def test_supported_shapes():
@@ -57,8 +61,8 @@ def test_supported_shapes():
     assert not fused_supported((A, P, S + TAPS - 1, 256), TAPS, 128)
 
 
-@pytest.mark.parametrize("f", MODES)
-def test_fused_f32_matches_composed_ops(f):
+@pytest.mark.parametrize("f,deint", MODES)
+def test_fused_f32_matches_composed_ops(f, deint):
     """f32 DFT vs XLA FFT: same int8 codes except requant ties.
 
     The two are different exact-arithmetic factorisations of the same
@@ -71,7 +75,7 @@ def test_fused_f32_matches_composed_ops(f):
     qr, qi = fengine_fused(
         jnp.asarray(frames), default_window(TAPS, f), jnp.asarray(fd),
         jnp.asarray(ph), n_channels=f // 2, quant_scale=SCALE,
-        dft_dtype="float32", interpret=True,
+        dft_dtype="float32", interpret=True, deint=deint,
     )
     for got, ref in ((qr, qr_ref), (qi, qi_ref)):
         d = np.abs(np.asarray(got, np.int32) - ref.astype(np.int32))
@@ -79,14 +83,14 @@ def test_fused_f32_matches_composed_ops(f):
         assert (d != 0).mean() <= 1e-4
 
 
-@pytest.mark.parametrize("f", MODES)
-def test_fused_bf16_within_one_code(f):
+@pytest.mark.parametrize("f,deint", MODES)
+def test_fused_bf16_within_one_code(f, deint):
     frames, fd, ph = _inputs(7, f=f)
     qr_ref, qi_ref = _reference(frames, fd, ph)
     qr, qi = fengine_fused(
         jnp.asarray(frames), default_window(TAPS, f), jnp.asarray(fd),
         jnp.asarray(ph), n_channels=f // 2, quant_scale=SCALE,
-        dft_dtype="bfloat16", interpret=True,
+        dft_dtype="bfloat16", interpret=True, deint=deint,
     )
     dr = np.abs(np.asarray(qr, np.int32) - qr_ref.astype(np.int32))
     di = np.abs(np.asarray(qi, np.int32) - qi_ref.astype(np.int32))
