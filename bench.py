@@ -7,8 +7,14 @@ accelerator and prints ONE JSON line.
 Methodology (this environment's relay adds ~2-3 ms fixed cost per dispatch
 and per loop iteration, and `block_until_ready` is unreliable through the
 tunnel — see .claude/skills/verify/SKILL.md):
-- the step is iterated inside a jitted ``fori_loop`` whose carry makes each
-  iteration data-dependent on the previous one (no reordering/elision);
+- the step is iterated inside a jitted ``fori_loop`` whose carry makes the
+  **ADC array itself** data-dependent on the previous iteration (as in
+  real streaming, where every step ingests a new chunk) — this defeats
+  loop-invariant hoisting of the FIR+FFT stages (an earlier version
+  perturbed only the fine delay and XLA hoisted the whole F-stage out of
+  the timing loop, inflating the number ~10x);
+- the probe is a full reduction of the output (slice probes let XLA
+  collapse channel-batched stages to one channel);
 - a scalar is pulled at the end (forces completion);
 - per-iteration time is the *marginal* cost between a 2-iteration and a
   6-iteration run of the same program, cancelling dispatch and setup.
@@ -24,19 +30,17 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
-
 
 ADC_RATE_MSPS = 1712.0  # MeerKAT digitiser, Msamples/s per antenna-pol
 
 
-def build(cfg, n_spectra):
+def build(cfg, n_spectra, fengine):
     import jax
     import jax.numpy as jnp
 
     from dpdk_dc_sand_tpu.models import FBEngine
 
-    fb = FBEngine(cfg, n_spectra=n_spectra)
+    fb = FBEngine(cfg, n_spectra=n_spectra, fengine=fengine, precision="bf16")
     adc, cd, fd, ph, dv = fb.example_inputs(margin=16)
     adc_d = jax.device_put(jnp.asarray(adc))
     cd_d, fd_d = jnp.asarray(cd), jnp.asarray(fd)
@@ -53,20 +57,28 @@ def build(cfg, n_spectra):
             # device arrays bakes them into the executable as constants
             # and the compile never finishes.
             def body(i, carry):
-                fd_c, acc = carry
-                out = fb._step(adc, cd_d, fd_c, ph_d, blocks)
-                probe = out[0, 0, 0, 0, 0]
-                return (fd_c + probe * 1e-30, acc + probe)
+                adc_c, fd_c, acc = carry
+                out = fb._step(adc_c, cd_d, fd_c, ph_d, blocks)
+                probe = out.astype(jnp.float32).sum() * 1e-30
+                # New "ingested" chunk: a data-dependent single-element
+                # update (0 at runtime) chains the iterations without the
+                # full-array rewrite a real double-buffered ingest
+                # wouldn't pay.
+                return (
+                    adc_c.at[0, 0, 0].add(probe.astype(jnp.int8)),
+                    fd_c + probe,
+                    acc + probe,
+                )
 
-            return jax.lax.fori_loop(0, n_iters, body, (fd, jnp.float32(0)))[1]
+            return jax.lax.fori_loop(0, n_iters, body, (adc, fd, jnp.float32(0)))[2]
 
         return run
 
     return chained, adc_d, fd_d, blocks
 
 
-def measure(cfg, n_spectra):
-    chained, adc_d, fd_d, blocks = build(cfg, n_spectra)
+def measure(cfg, n_spectra, fengine):
+    chained, adc_d, fd_d, blocks = build(cfg, n_spectra, fengine)
     r2, r6 = chained(2), chained(6)
     float(r2(adc_d, fd_d, blocks))  # compile
     float(r6(adc_d, fd_d, blocks))  # compile
@@ -87,14 +99,15 @@ def main() -> None:
     from dpdk_dc_sand_tpu.config import ArrayConfig
 
     attempts = [
-        (ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16), 32),
-        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64),
-        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64),
+        (ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16), 32, "fused"),
+        (ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16), 32, "xla"),
+        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64, "xla"),
+        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla"),
     ]
     value, used = None, None
-    for cfg, n_spectra in attempts:
+    for cfg, n_spectra, fengine in attempts:
         try:
-            value = measure(cfg, n_spectra)
+            value = measure(cfg, n_spectra, fengine)
             used = (cfg, n_spectra)
             break
         except Exception as e:  # OOM / unsupported: fall back smaller

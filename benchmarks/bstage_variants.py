@@ -10,6 +10,13 @@ Variants (all loop-dependent, full-reduction probes, marginal timing):
                   isolates the f32 beam-write share.
 - ``direct``    : transpose-free dot_general contracting the antenna
                   axis in place (batch dim = channel on dim 3/0).
+- ``folded1``   : ONE batched dot per step — (re/im, pol, time) stacked
+                  into 2·P·S = 128 rows, (cos|sin) stacked into 2B = 32
+                  columns; per-channel matmul [128, A]@[A, 32] instead of
+                  four [64, A]@[A, 16] — 4x fewer MXU passes at the same
+                  MACs (the per-channel batched matmul is MXU-pass-latency
+                  bound, not HBM bound).
+- ``folded2``   : two dots [64, A]@[A, 32] (wide weights only).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bstage_variants.py [S ...]
 """
@@ -118,7 +125,48 @@ def main(spectra_list):
             bi = d(qc[0], ws) + d(qc[1], wc)
             return (br.sum() + bi.sum()) * 1e-30
 
+        def folded1_body(qc, cos_a, sin_a):
+            # X [C, 2, P, S, A]: rows = (reim, pol, time); W [C, A, 2B].
+            x = jnp.transpose(qc, (4, 0, 2, 3, 1)).astype(jnp.bfloat16)
+            c, two, p, s, a = x.shape
+            x = x.reshape(c, two * p * s, a)
+            w = jnp.concatenate(
+                [jnp.swapaxes(cos_a, -1, -2), jnp.swapaxes(sin_a, -1, -2)],
+                axis=-1,
+            )  # [C, A, 2B]
+            y = lax.dot_general(
+                x, w, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(c, two, p, s, 2, cfg.n_beams)
+            br = y[:, 0, :, :, 0] - y[:, 1, :, :, 1]
+            bi = y[:, 0, :, :, 1] + y[:, 1, :, :, 0]
+            return (br.sum() + bi.sum()) * 1e-30
+
+        def folded2_body(qc, cos_a, sin_a):
+            xr = jnp.transpose(qc[0], (3, 1, 2, 0)).astype(jnp.bfloat16)
+            xi = jnp.transpose(qc[1], (3, 1, 2, 0)).astype(jnp.bfloat16)
+            c, p, s, a = xr.shape
+            w = jnp.concatenate(
+                [jnp.swapaxes(cos_a, -1, -2), jnp.swapaxes(sin_a, -1, -2)],
+                axis=-1,
+            )  # [C, A, 2B]
+
+            def d(x):
+                return lax.dot_general(
+                    x.reshape(c, p * s, a), w, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(c, p, s, 2, cfg.n_beams)
+
+            yr, yi = d(xr), d(xi)
+            br = yr[..., 0, :] - yi[..., 1, :]
+            bi = yr[..., 1, :] + yi[..., 0, :]
+            return (br.sum() + bi.sum()) * 1e-30
+
         variant("planes", planes_body,
+                (2, cfg.n_ants, cfg.n_pols, S, cfg.n_channels))
+        variant("folded1", folded1_body,
+                (2, cfg.n_ants, cfg.n_pols, S, cfg.n_channels))
+        variant("folded2", folded2_body,
                 (2, cfg.n_ants, cfg.n_pols, S, cfg.n_channels))
         variant("pre_t", pre_t_body,
                 (2, cfg.n_pols, cfg.n_channels, S, cfg.n_ants))

@@ -75,9 +75,11 @@ def build_kernel(stop_after):
         tile = scratch[slot].astype(jnp.bfloat16)
         if stop_after == "conv":
             acc = tile[0:n1] + tile[n1 : 2 * n1]
+            # bf16 scalar reads are unsupported on TPU — widen first.
+            p0 = acc[0:8, 0:128].astype(jnp.float32)[0, 0]
             for si in range(s_blk):
                 outr_ref[0, si] = jnp.zeros((n2, n1), jnp.int8)
-                outi_ref[0, si] = acc[0, 0].astype(jnp.int8) * jnp.ones(
+                outi_ref[0, si] = p0.astype(jnp.int8) * jnp.ones(
                     (n2, n1), jnp.int8)
             return
 
@@ -259,7 +261,8 @@ def run_variant(stop_after, S, s_blk):
 
 def main(argv):
     S = int(argv[0]) if argv else 64
-    for stop in ("dma", "conv", "fir", "deint", "stagea", "stageb", "full"):
+    stages = argv[1:] or ("dma", "conv", "fir", "deint", "stagea", "stageb", "full")
+    for stop in stages:
         try:
             run_variant(stop, S, 16)
         except Exception as e:

@@ -90,23 +90,54 @@ def _split_pow2(n: int) -> tuple[int, int]:
     return n1, n2
 
 
-def _deint_mode(n: int, deint: str = "auto") -> tuple[str, int, int]:
-    """Pick the even/odd deinterleave strategy and the N1·N2 split.
+def _split_ct(fft_size: int) -> tuple[int, int] | None:
+    """fft_size = N1 * N2 for the direct-CT kernel, or None if unviable.
 
-    ``matmul`` (the default): the interleaved int8 view with a
-    [2N2, 2N2] selection permutation on the MXU — ~20% extra MXU MACs,
-    but **measured 2.7× faster end-to-end** than the bitcast variant at
-    the flagship config (benchmarks/fused_tune.py, 2026-08: 14.5 vs
-    38.8 ms at S=32): the MXU has the headroom, while the bitcast's
-    int16→int32 widening + shifts pay two sublane-packing relayouts of
-    the whole tile on the VPU, which is the kernel's critical path.
+    Constraints: the HBM frame view is ``[n_frames·N1, N2]`` int8, so N2
+    (the lane axis) wants >= 128 and N1 (the DMA row unit) must be
+    8-aligned.
+    """
+    l = fft_size.bit_length() - 1
+    n1 = 1 << ((l + 1) // 2)
+    n2 = fft_size // n1
+    if n2 < 128 and fft_size >= 8 * 128:
+        n2 = 128
+        n1 = fft_size // n2
+    if n1 % _ROW_ALIGN or n2 < 128 or n2 % 2:
+        return None
+    return n1, n2
+
+
+def _deint_mode(n: int, deint: str = "auto") -> tuple[str, int, int]:
+    """Pick the kernel variant and its N1·N2 split.
+
+    ``ct`` (the default where viable): **direct two-stage Cooley–Tukey
+    on the full frame** with half-output. The row-major frame view
+    ``[N1, N2]`` (fft_size = N1·N2) IS the decimation, stage A contracts
+    the row axis with real input (2 dots), and keeping only
+    ``k2 < N2/2`` of stage B's output yields exactly the rfft bins
+    ``k = k2·N1 + k1 < fft/2`` — no even/odd deinterleave matmul (−20%
+    MXU MACs) and no DIT-combine epilogue. The even/odd modes below
+    date from rfft-on-half-length thinking; the direct half-output form
+    dominates them on TPU.
+
+    ``matmul``: even/odd DIT via a [2N2, 2N2] selection permutation on
+    the MXU (n here is fft_size/2). Fallback for shapes ct can't take;
+    measured 2.7x faster than ``bitcast`` at the flagship config
+    (benchmarks/fused_tune.py, 2026-08: 14.5 vs 38.8 ms at S=32).
 
     ``bitcast``: the wrapper bitcasts int8 sample pairs to int16 (a
     layout no-op — little-endian low byte = even sample) and the kernel
     extracts the two streams with int32 shifts on the VPU. Needs
     ``n2 >= 128`` (int16 lane alignment) and ``n1 % 8 == 0``. Kept for
-    MXU-starved configurations and as the measured record.
+    the measured record.
     """
+    if deint in ("auto", "ct"):
+        ct = _split_ct(2 * n)
+        if ct is not None:
+            return ("ct", *ct)
+        if deint == "ct":
+            raise ValueError(f"fft_size {2 * n} unsupported by the ct kernel")
     if deint == "bitcast":
         n1b, n2b = _split_pow2(n)
         if n2b < 128 and n >= 8 * 128:
@@ -151,8 +182,8 @@ def _fengine_kernel(
     tws_ref,  # [N1, s_blk*N2] inter-stage twiddle −sin
     untc_ref,  # [N2, N1] DIT-combine cos(πk/N)
     unts_ref,  # [N2, N1] DIT-combine −sin(πk/N)
-    fd_ref,  # [batch, 1] f32 SMEM: per-batch fractional delay
-    ph_ref,  # [batch, 1] f32 SMEM: per-batch phase
+    rotc_ref,  # [1, N2, N1] f32: per-batch fine-delay rotation cos
+    rots_ref,  # [1, N2, N1] f32: per-batch fine-delay rotation sin
     outr_ref,  # [1, s_blk, N2, N1] int8
     outi_ref,  # [1, s_blk, N2, N1] int8
     scratch,  # [2, (s_blk+taps-1)*N1, lanes] input-dtype VMEM
@@ -164,8 +195,6 @@ def _fengine_kernel(
     n_taps: int,
     n1: int,
     n2: int,
-    n_channels_total: int,
-    channel_offset: int,
     quant_scale: float,
     dft_dtype,
     deint: str,
@@ -200,19 +229,12 @@ def _fengine_kernel(
 
     dma(slot, b, s).wait()
 
-    # Per-channel fine-delay rotation for this batch (constant over the
-    # spectra block). Channel grid: k = k2*N1 + k1 on the [N2, N1] plane.
-    k2g = jax.lax.broadcasted_iota(jnp.int32, (n2, n1), 0)
-    k1g = jax.lax.broadcasted_iota(jnp.int32, (n2, n1), 1)
-    k = (k2g * n1 + k1g + channel_offset).astype(jnp.float32)
-    rot = (
-        -jnp.pi
-        * fd_ref[b, 0]
-        * (k - n_channels_total / 2.0)
-        / n_channels_total
-        + ph_ref[b, 0]
-    )
-    rot_c, rot_s = jnp.cos(rot), jnp.sin(rot)
+    # Per-channel fine-delay rotation for this batch: precomputed by XLA
+    # and DMA'd in. (Computing the cos/sin grids in-kernel was HALF the
+    # kernel's runtime — 6.4 ms of 13.3 at the flagship config — Mosaic's
+    # transcendental lowering is far slower than two [N2, N1] plane
+    # reads; benchmarks/fused_ablate.py, 2026-08.)
+    rot_c, rot_s = rotc_ref[0], rots_ref[0]
 
     d1c, d1s = dft1c_ref[:].astype(dft_dtype), dft1s_ref[:].astype(dft_dtype)
     d2c, d2s = dft2c_ref[:].astype(dft_dtype), dft2s_ref[:].astype(dft_dtype)
@@ -330,6 +352,125 @@ def _fengine_kernel(
         outi_ref[0, si] = qi.astype(jnp.int8)
 
 
+def _fengine_kernel_ct(
+    frames_hbm,  # [B, n_frames*N1, N2] int8 (fft_size = N1*N2, row-major)
+    wina_ref,  # PFB window [n_taps*N1, N2] f32
+    dft1c_ref,  # [N1, N1] stage-A DFT cos
+    dft1s_ref,  # [N1, N1] stage-A DFT −sin
+    dft2c_ref,  # [N2/2, N2] stage-B half-output DFT cos
+    dft2s_ref,  # [N2/2, N2] stage-B −sin
+    twc_ref,  # [N1, N2] inter-stage twiddle cos(2π·k1·n2/fft)
+    tws_ref,  # [N1, N2] −sin
+    rotc_ref,  # [1, N2/2, N1] f32 per-batch fine-delay rotation cos
+    rots_ref,  # [1, N2/2, N1] f32 sin
+    outr_ref,  # [1, s_blk, N2/2, N1] int8
+    outi_ref,  # [1, s_blk, N2/2, N1] int8
+    scratch,  # [2, (s_blk+taps-1)*N1, N2] int8 VMEM
+    sems,  # DMA semaphores [2]
+    *,
+    s_blk: int,
+    n_taps: int,
+    n1: int,
+    n2: int,
+    quant_scale: float,
+    dft_dtype,
+):
+    """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
+
+    Per spectrum: ``X[k2·N1 + k1] = Σ_{n2} d2[k2,n2] · tw[k1,n2] ·
+    Σ_{n1} x[n1·N2+n2] · d1[k1,n1]`` for ``k2 < N2/2`` — the rfft bins
+    ``k < fft/2`` land on the ``[N2/2, N1]`` output plane row-major, the
+    same layout contract as the DIT kernel. Everything per-si: the
+    unrolled spectra are independent, so Mosaic overlaps si's MXU stages
+    with si+1's VPU FIR; no cross-spectrum staging buffers needed.
+    """
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    n_s = pl.num_programs(1)
+    rows = (s_blk + n_taps - 1) * n1
+
+    def dma(slot, bi, si):
+        return pltpu.make_async_copy(
+            frames_hbm.at[bi, pl.ds(si * s_blk * n1, rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    step = b * n_s + s
+    slot = jax.lax.rem(step, 2)
+    next_slot = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        dma(slot, b, s).start()
+
+    ns_ = jax.lax.rem(s + 1, n_s)
+    nb = b + jnp.where(s + 1 == n_s, 1, 0)
+    is_last = step + 1 == pl.num_programs(0) * n_s
+
+    @pl.when(jnp.logical_not(is_last))
+    def _():
+        dma(next_slot, nb, ns_).start()
+
+    dma(slot, b, s).wait()
+
+    rot_c, rot_s = rotc_ref[0], rots_ref[0]
+    d1c, d1s = dft1c_ref[:].astype(dft_dtype), dft1s_ref[:].astype(dft_dtype)
+    d2c, d2s = dft2c_ref[:].astype(dft_dtype), dft2s_ref[:].astype(dft_dtype)
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dft_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def dot(a, w):
+        return jnp.dot(a, w, preferred_element_type=jnp.float32, precision=prec)
+
+    def dot_t(w, a):
+        # out[i, j] = Σ_c w[i, c] · a[j, c] — both contracted on the
+        # minor axis (MXU-natural; output lands transposed).
+        return jax.lax.dot_general(
+            w,
+            a,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    # One int8→bf16 conversion of the whole tile (int8 is exact in bf16).
+    tile = scratch[slot].astype(jnp.bfloat16)
+    for si in range(s_blk):
+        # FIR: one [N1, N2] slab per tap, f32 accumulate (VPU).
+        acc = tile[si * n1 : (si + 1) * n1] * wina_ref[0:n1]
+        for tap in range(1, n_taps):
+            acc = acc + (
+                tile[(si + tap) * n1 : (si + tap + 1) * n1]
+                * wina_ref[tap * n1 : (tap + 1) * n1]
+            )
+        accd = acc.astype(dft_dtype)
+
+        # Stage A: contract the n1 (row) axis; real input, 2 dots.
+        ar, ai = dot(d1c, accd), dot(d1s, accd)  # [N1, N2] f32
+
+        # Inter-stage twiddle (tws holds −sin).
+        tr = ar * twc_ref[:] - ai * tws_ref[:]
+        ti = ar * tws_ref[:] + ai * twc_ref[:]
+        trd, tid = tr.astype(dft_dtype), ti.astype(dft_dtype)
+
+        # Stage B: contract n2, keep k2 < N2/2 → [N2/2, N1] plane.
+        re = dot_t(d2c, trd) - dot_t(d2s, tid)
+        im = dot_t(d2c, tid) + dot_t(d2s, trd)
+
+        # Fine delay rotation + round-half-even int8 requant.
+        outr = re * rot_c - im * rot_s
+        outi = re * rot_s + im * rot_c
+        qr = jnp.clip(jnp.rint(outr * quant_scale), -127.0, 127.0)
+        qi = jnp.clip(jnp.rint(outi * quant_scale), -127.0, 127.0)
+        outr_ref[0, si] = qr.astype(jnp.int8)
+        outi_ref[0, si] = qi.astype(jnp.int8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -396,6 +537,99 @@ def fengine_fused(
     for d in lead:
         batch *= d
     winf = window.astype(jnp.float32)
+
+    # Per-batch fine-delay rotation planes, precomputed by XLA (cheap
+    # elementwise; in-kernel cos/sin was half the kernel's runtime).
+    # Output plane layout: k = k2·(lane count) + k1, i.e. a row-major
+    # arange over [out_rows, out_lanes].
+    out_rows, out_lanes = (n2 // 2, n1) if deint == "ct" else (n2, n1)
+    fd = jnp.broadcast_to(
+        jnp.asarray(frac_delay, jnp.float32), tuple(lead)
+    ).reshape(batch, 1, 1)
+    ph = jnp.broadcast_to(jnp.asarray(phase, jnp.float32), tuple(lead)).reshape(
+        batch, 1, 1
+    )
+    k = (
+        jnp.arange(n_channels, dtype=jnp.float32).reshape(out_rows, out_lanes)
+        + channel_offset
+    )
+    rot = -jnp.pi * fd * (k - n_channels_total / 2.0) / n_channels_total + ph
+    rotc, rots = jnp.cos(rot), jnp.sin(rot)
+    rot_spec = pl.BlockSpec(
+        (1, out_rows, out_lanes), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    rows = (s_blk + n_taps - 1) * n1
+    grid = (batch, n_spectra // s_blk)
+    out_specs = (
+        pl.BlockSpec(
+            (1, s_blk, out_rows, out_lanes),
+            lambda b, s: (b, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ) * 2
+    out_shape = (
+        jax.ShapeDtypeStruct((batch, n_spectra, out_rows, out_lanes), jnp.int8),
+    ) * 2
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+    )
+
+    if deint == "ct":
+        # Direct-CT constants: fft = n1·n2; d1 [N1,N1] over rows,
+        # half-output d2 [N2/2, N2], twiddle [N1, N2] (trace-time numpy).
+        fr = frames.reshape(batch, n_frames * n1, n2)
+        wina = winf.reshape(n_taps * n1, n2)
+        k1 = np.arange(n1)
+        k2h = np.arange(n2 // 2)
+        nn2 = np.arange(n2)
+        a1 = 2 * np.pi * np.outer(k1, k1) / n1
+        a2 = 2 * np.pi * np.outer(k2h, nn2) / n2
+        atw = 2 * np.pi * np.outer(k1, nn2) / fft_size
+        consts = [
+            jnp.asarray(c, jnp.float32)
+            for c in (
+                np.cos(a1), -np.sin(a1),
+                np.cos(a2), -np.sin(a2),
+                np.cos(atw), -np.sin(atw),
+            )
+        ]
+        const_specs = [
+            pl.BlockSpec(c.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM)
+            for c in consts
+        ]
+        qr, qi = pl.pallas_call(
+            functools.partial(
+                _fengine_kernel_ct,
+                s_blk=s_blk,
+                n_taps=n_taps,
+                n1=n1,
+                n2=n2,
+                quant_scale=quant_scale,
+                dft_dtype=jnp.dtype(dft_dtype),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    wina.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM
+                ),
+                *const_specs,
+                rot_spec,
+                rot_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, n2), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(fr, wina, *consts, rotc, rots)
+        shape = (*lead, n_spectra, n_channels)
+        return qr.reshape(shape), qi.reshape(shape)
+
     if deint == "bitcast":
         # Little-endian pair bitcast: low byte = even sample (a layout
         # no-op in XLA); the kernel splits the streams with VPU shifts.
@@ -407,12 +641,6 @@ def fengine_fused(
     else:
         fr = frames.reshape(batch, n_frames * n1, 2 * n2)
         wina = winf.reshape(n_taps * n1, 2 * n2)
-    fd = jnp.broadcast_to(
-        jnp.asarray(frac_delay, jnp.float32), tuple(lead)
-    ).reshape(batch, 1)
-    ph = jnp.broadcast_to(jnp.asarray(phase, jnp.float32), tuple(lead)).reshape(
-        batch, 1
-    )
 
     # DFT / twiddle / untangle constants (trace-time numpy; XLA folds).
     k1 = np.arange(n1)
@@ -436,8 +664,6 @@ def fengine_fused(
     ]
     consts = [jnp.asarray(c, jnp.float32) for c in consts]
 
-    rows = (s_blk + n_taps - 1) * n1
-    grid = (batch, n_spectra // s_blk)
     const_specs = [
         pl.BlockSpec(c.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM)
         for c in consts
@@ -449,8 +675,6 @@ def fengine_fused(
             n_taps=n_taps,
             n1=n1,
             n2=n2,
-            n_channels_total=n_channels_total,
-            channel_offset=channel_offset,
             quant_scale=quant_scale,
             dft_dtype=jnp.dtype(dft_dtype),
             deint=deint,
@@ -465,35 +689,19 @@ def fengine_fused(
                 winb.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM
             ),
             *const_specs,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            rot_spec,
+            rot_spec,
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, s_blk, n2, n1),
-                lambda b, s: (b, s, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, s_blk, n2, n1),
-                lambda b, s: (b, s, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, n_spectra, n2, n1), jnp.int8),
-            jax.ShapeDtypeStruct((batch, n_spectra, n2, n1), jnp.int8),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, rows, fr.shape[-1]), fr.dtype),
             pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype)),
             pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
+        compiler_params=compiler_params,
         interpret=interpret,
-    )(fr, wina, winb, *consts, fd, ph)
+    )(fr, wina, winb, *consts, rotc, rots)
     shape = (*lead, n_spectra, n_channels)
     return qr.reshape(shape), qi.reshape(shape)

@@ -45,11 +45,13 @@ def _reference(frames, fd, ph):
     return np.asarray(requantise(re, SCALE)), np.asarray(requantise(im, SCALE))
 
 
-# (f, deint) pairs: the selection-matmul deinterleave (the measured-faster
-# default) and the int16-bitcast variant, which needs fft >= 2048 for its
-# 128-lane int16 view (ops/fengine_pallas._deint_mode).
+# (f, deint) tuples: the direct-CT kernel (the default where viable),
+# the even/odd selection-matmul DIT variant, and the int16-bitcast DIT
+# variant, which needs fft >= 2048 for its 128-lane int16 view
+# (ops/fengine_pallas._deint_mode).
 MODES = [
-    pytest.param(1024, "auto", id="matmul"),
+    pytest.param(1024, "auto", id="ct"),
+    pytest.param(1024, "matmul", id="matmul"),
     pytest.param(2048, "bitcast", id="bitcast"),
 ]
 
