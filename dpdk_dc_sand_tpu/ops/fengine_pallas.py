@@ -366,24 +366,35 @@ def _fengine_kernel_ct(
     outr_ref,  # [1, s_blk, N2/2, N1] int8
     outi_ref,  # [1, s_blk, N2/2, N1] int8
     scratch,  # [2, (s_blk+taps-1)*N1, N2] int8 VMEM
-    sems,  # DMA semaphores [2]
-    *,
+    *rest,  # [accb_ref  [N1, s_blk*N2] staging (batch_a only)], sems
     s_blk: int,
     n_taps: int,
     n1: int,
     n2: int,
     quant_scale: float,
     dft_dtype,
+    batch_a: bool = False,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
     Per spectrum: ``X[k2·N1 + k1] = Σ_{n2} d2[k2,n2] · tw[k1,n2] ·
     Σ_{n1} x[n1·N2+n2] · d1[k1,n1]`` for ``k2 < N2/2`` — the rfft bins
     ``k < fft/2`` land on the ``[N2/2, N1]`` output plane row-major, the
-    same layout contract as the DIT kernel. Everything per-si: the
-    unrolled spectra are independent, so Mosaic overlaps si's MXU stages
-    with si+1's VPU FIR; no cross-spectrum staging buffers needed.
+    same layout contract as the DIT kernel. Two schedules:
+
+    - per-si (default): each unrolled spectrum runs FIR→A→B→requant; the
+      spectra are independent, so Mosaic overlaps si's MXU stages with
+      si+1's VPU FIR.
+    - ``batch_a``: FIR outputs staged into a ``[N1, s_blk·N2]`` buffer so
+      stage A runs as 2 block-wide matmuls (``[N1,N1] @ [N1, s_blk·N2]``)
+      with pre-tiled twiddles; stage B and the epilogue stay per-si on
+      column slices. Same math, same rounding points (the staging write
+      is the ``accd`` cast).
     """
+    if batch_a:
+        accb_ref, sems = rest
+    else:
+        (sems,) = rest
     b = pl.program_id(0)
     s = pl.program_id(1)
     n_s = pl.num_programs(1)
@@ -440,7 +451,8 @@ def _fengine_kernel_ct(
 
     # One int8→bf16 conversion of the whole tile (int8 is exact in bf16).
     tile = scratch[slot].astype(jnp.bfloat16)
-    for si in range(s_blk):
+
+    def fir(si):
         # FIR: one [N1, N2] slab per tap, f32 accumulate (VPU).
         acc = tile[si * n1 : (si + 1) * n1] * wina_ref[0:n1]
         for tap in range(1, n_taps):
@@ -448,7 +460,38 @@ def _fengine_kernel_ct(
                 tile[(si + tap) * n1 : (si + tap + 1) * n1]
                 * wina_ref[tap * n1 : (tap + 1) * n1]
             )
-        accd = acc.astype(dft_dtype)
+        return acc
+
+    def epilogue(si, re, im):
+        # Fine delay rotation + round-half-even int8 requant.
+        outr = re * rot_c - im * rot_s
+        outi = re * rot_s + im * rot_c
+        qr = jnp.clip(jnp.rint(outr * quant_scale), -127.0, 127.0)
+        qi = jnp.clip(jnp.rint(outi * quant_scale), -127.0, 127.0)
+        outr_ref[0, si] = qr.astype(jnp.int8)
+        outi_ref[0, si] = qi.astype(jnp.int8)
+
+    if batch_a:
+        for si in range(s_blk):
+            accb_ref[:, si * n2 : (si + 1) * n2] = fir(si).astype(
+                accb_ref.dtype
+            )
+        # Stage A over the whole spectra block: 2 matmuls of
+        # [N1, N1] @ [N1, s_blk·N2]; twiddles arrive pre-tiled.
+        accd = accb_ref[:]
+        ar, ai = dot(d1c, accd), dot(d1s, accd)  # [N1, s_blk·N2] f32
+        tr = ar * twc_ref[:] - ai * tws_ref[:]
+        ti = ar * tws_ref[:] + ai * twc_ref[:]
+        trd, tid = tr.astype(dft_dtype), ti.astype(dft_dtype)
+        for si in range(s_blk):
+            sl = slice(si * n2, (si + 1) * n2)
+            re = dot_t(d2c, trd[:, sl]) - dot_t(d2s, tid[:, sl])
+            im = dot_t(d2c, tid[:, sl]) + dot_t(d2s, trd[:, sl])
+            epilogue(si, re, im)
+        return
+
+    for si in range(s_blk):
+        accd = fir(si).astype(dft_dtype)
 
         # Stage A: contract the n1 (row) axis; real input, 2 dots.
         ar, ai = dot(d1c, accd), dot(d1s, accd)  # [N1, N2] f32
@@ -461,14 +504,7 @@ def _fengine_kernel_ct(
         # Stage B: contract n2, keep k2 < N2/2 → [N2/2, N1] plane.
         re = dot_t(d2c, trd) - dot_t(d2s, tid)
         im = dot_t(d2c, tid) + dot_t(d2s, trd)
-
-        # Fine delay rotation + round-half-even int8 requant.
-        outr = re * rot_c - im * rot_s
-        outi = re * rot_s + im * rot_c
-        qr = jnp.clip(jnp.rint(outr * quant_scale), -127.0, 127.0)
-        qi = jnp.clip(jnp.rint(outi * quant_scale), -127.0, 127.0)
-        outr_ref[0, si] = qr.astype(jnp.int8)
-        outi_ref[0, si] = qi.astype(jnp.int8)
+        epilogue(si, re, im)
 
 
 @functools.partial(
@@ -482,6 +518,7 @@ def _fengine_kernel_ct(
         "interpret",
         "s_blk",
         "deint",
+        "ct_batch_a",
     ),
 )
 def fengine_fused(
@@ -498,6 +535,7 @@ def fengine_fused(
     interpret: bool = False,
     s_blk: int | None = None,
     deint: str = "auto",
+    ct_batch_a: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -586,18 +624,28 @@ def fengine_fused(
         a1 = 2 * np.pi * np.outer(k1, k1) / n1
         a2 = 2 * np.pi * np.outer(k2h, nn2) / n2
         atw = 2 * np.pi * np.outer(k1, nn2) / fft_size
+        twc, tws = np.cos(atw), -np.sin(atw)
+        if ct_batch_a:
+            # Stage A runs block-wide; tile the twiddles across s_blk.
+            twc, tws = np.tile(twc, (1, s_blk)), np.tile(tws, (1, s_blk))
         consts = [
             jnp.asarray(c, jnp.float32)
             for c in (
                 np.cos(a1), -np.sin(a1),
                 np.cos(a2), -np.sin(a2),
-                np.cos(atw), -np.sin(atw),
+                twc, tws,
             )
         ]
         const_specs = [
             pl.BlockSpec(c.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM)
             for c in consts
         ]
+        scratch_shapes = [pltpu.VMEM((2, rows, n2), jnp.int8)]
+        if ct_batch_a:
+            scratch_shapes.append(
+                pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype))
+            )
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
         qr, qi = pl.pallas_call(
             functools.partial(
                 _fengine_kernel_ct,
@@ -607,6 +655,7 @@ def fengine_fused(
                 n2=n2,
                 quant_scale=quant_scale,
                 dft_dtype=jnp.dtype(dft_dtype),
+                batch_a=ct_batch_a,
             ),
             grid=grid,
             in_specs=[
@@ -620,10 +669,7 @@ def fengine_fused(
             ],
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((2, rows, n2), jnp.int8),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch_shapes,
             compiler_params=compiler_params,
             interpret=interpret,
         )(fr, wina, *consts, rotc, rots)

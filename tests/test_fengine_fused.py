@@ -167,3 +167,26 @@ def test_tone_leakage_no_worse_than_composed_path(dft_dtype):
     )
     got_db = power_db(qr, qi)
     assert got_db <= max(ref_db + 3.0, -45.0), (got_db, ref_db)
+
+
+def test_ct_batch_a_matches_default_ct():
+    """Batched-stage-A ct schedule == per-si ct schedule, same codes.
+
+    Same math at the same rounding points (the staging write is the
+    ``accd`` cast), so the int8 outputs must agree exactly.
+    """
+    frames, fd, ph = _inputs(13)
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, deint="ct",
+    )
+    base = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **kw,
+    )
+    batched = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), ct_batch_a=True, **kw,
+    )
+    for got, ref in zip(batched, base):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
