@@ -34,13 +34,16 @@ import time
 ADC_RATE_MSPS = 1712.0  # MeerKAT digitiser, Msamples/s per antenna-pol
 
 
-def build(cfg, n_spectra, fengine):
+def build(cfg, n_spectra, fengine, bstage="planar"):
     import jax
     import jax.numpy as jnp
 
     from dpdk_dc_sand_tpu.models import FBEngine
 
-    fb = FBEngine(cfg, n_spectra=n_spectra, fengine=fengine, precision="bf16")
+    fb = FBEngine(
+        cfg, n_spectra=n_spectra, fengine=fengine, precision="bf16",
+        bstage=bstage,
+    )
     adc, cd, fd, ph, dv = fb.example_inputs(margin=16)
     adc_d = jax.device_put(jnp.asarray(adc))
     cd_d, fd_d = jnp.asarray(cd), jnp.asarray(fd)
@@ -77,8 +80,8 @@ def build(cfg, n_spectra, fengine):
     return chained, adc_d, fd_d, blocks
 
 
-def measure(cfg, n_spectra, fengine):
-    chained, adc_d, fd_d, blocks = build(cfg, n_spectra, fengine)
+def measure(cfg, n_spectra, fengine, bstage="planar"):
+    chained, adc_d, fd_d, blocks = build(cfg, n_spectra, fengine, bstage)
     r2, r6 = chained(2), chained(6)
     float(r2(adc_d, fd_d, blocks))  # compile
     float(r6(adc_d, fd_d, blocks))  # compile
@@ -98,9 +101,15 @@ def measure(cfg, n_spectra, fengine):
 def main() -> None:
     from dpdk_dc_sand_tpu.config import ArrayConfig
 
+    flagship = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
     attempts = [
-        (ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16), 32, "fused"),
-        (ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16), 32, "xla"),
+        # S=128 measured fastest (benchmarks/honest_tune.py: 15.4 Gs/s vs
+        # 13.5 at S=64, 11.5 at S=32 — larger S amortises kernel DMA and
+        # fattens the B-stage matmul M dim); smaller S as OOM fallbacks.
+        (flagship, 128, "fused"),
+        (flagship, 64, "fused"),
+        (flagship, 32, "fused"),
+        (flagship, 32, "xla"),
         (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64, "xla"),
         (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla"),
     ]

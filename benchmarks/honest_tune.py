@@ -89,22 +89,23 @@ def main() -> None:
     cfg = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
 
-    if mode == "full":
+    if mode in ("full", "fullb"):
         spectra = [int(a) for a in sys.argv[2:]] or [32, 64, 128]
+        bstage = "folded" if mode == "fullb" else "planar"
         for s in spectra:
             try:
                 t0 = time.time()
-                msps = measure(cfg, s, "fused")
+                msps = measure(cfg, s, "fused", bstage)
                 samples = cfg.n_ants * cfg.n_pols * s * cfg.fft_size
                 print(
-                    f"S={s:3d} full(fused): {msps/1e3:7.2f} Gs/s "
+                    f"S={s:3d} full({bstage}): {msps/1e3:7.2f} Gs/s "
                     f"({samples/(msps*1e6)*1e3:7.2f} ms/step) "
                     f"[wall {time.time()-t0:.0f}s]",
                     flush=True,
                 )
             except Exception as e:
                 print(
-                    f"S={s:3d} full(fused): FAILED {type(e).__name__}: {e}",
+                    f"S={s:3d} full({bstage}): FAILED {type(e).__name__}: {e}",
                     flush=True,
                 )
     elif mode == "fonly":

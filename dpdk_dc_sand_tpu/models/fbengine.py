@@ -19,8 +19,8 @@ import numpy as np
 
 from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
-from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
-from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeffs
+from dpdk_dc_sand_tpu.ops.beamform import beamform_planes, beamform_planes_folded
+from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat, steering_coeffs
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay, coarse_delay
 from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
 from dpdk_dc_sand_tpu.ops.requant import requantise
@@ -58,9 +58,12 @@ class FBEngine:
         fengine: str = "xla",
         beam_quant_scale: float | None = None,
         fengine_interpret: bool = False,
+        bstage: str = "planar",
     ) -> None:
         if fengine not in ("xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
+        if bstage not in ("planar", "folded"):
+            raise ValueError(f"unknown bstage backend {bstage!r}")
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -69,11 +72,14 @@ class FBEngine:
         # dominant B-stage HBM term at the flagship config) instead of
         # casting f32 planes in-step (which costs an extra HBM pass —
         # measured in benchmarks/boundary_variants.py v4).
+        # "folded" bstage pre-expands them to [C, 2A, 2B] block-concat
+        # weights for the single-dot beamform.
         self._coeff_fn = jax.jit(
             functools.partial(
                 _coeff_blocks,
                 cfg=cfg,
                 dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
+                folded=(bstage == "folded"),
             )
         )
         self._coeff_blocks = None
@@ -90,6 +96,7 @@ class FBEngine:
                 fengine=fengine,
                 beam_quant_scale=beam_quant_scale,
                 fengine_interpret=fengine_interpret,
+                bstage=bstage,
             )
         )
 
@@ -177,12 +184,15 @@ def _coeff_blocks(
     *,
     cfg: ArrayConfig,
     dtype=jnp.float32,
+    folded: bool = False,
 ):
-    """delay polynomials [B, A, 4] -> steering (cos, sin) [C, B, A] f32.
+    """delay polynomials [B, A, 4] -> steering weights.
 
-    (The materialised 2x2-block form + single folded dot lowers badly in
-    XLA for 32k tiny batched matmuls — measured ~1000x slower than the
-    planar 4-dot form on v5e; see benchmarks/beamform_variants.py.)"""
+    ``folded=False``: (cos, sin) ``[C, B, A]`` planes for the 4-dot
+    planar beamform. ``folded=True``: block-concat ``[C, 2A, 2B]``
+    weights for the single-dot form (regenerated only on delay updates,
+    so the 4× expansion costs update-time HBM, not step time).
+    """
     dv = jnp.broadcast_to(
         delay_vals, (cfg.n_channels,) + tuple(delay_vals.shape)
     )
@@ -193,7 +203,11 @@ def _coeff_blocks(
         sample_period=cfg.sample_period,
         xeng_id=0,
     )
-    return (cos * ant_weights).astype(dtype), (sin * ant_weights).astype(dtype)
+    cos = cos * ant_weights
+    sin = sin * ant_weights
+    if folded:
+        return steering_coeff_blockcat(cos, sin).astype(dtype)
+    return cos.astype(dtype), sin.astype(dtype)
 
 
 def _fb_step(
@@ -212,6 +226,7 @@ def _fb_step(
     fengine: str = "xla",
     beam_quant_scale: float | None = None,
     fengine_interpret: bool = False,
+    bstage: str = "planar",
 ) -> jax.Array:
     # ---- F-engine ----
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
@@ -258,14 +273,21 @@ def _fb_step(
         qr = requantise(re, quant_scale)  # [A, P, S, C] int8
         qi = requantise(im, quant_scale)
 
-    # ---- corner turn (layout only; folded by XLA) ----
-    # [A, P, S, C] -> [P, C, S, A] per plane
-    xr = jnp.transpose(qr, (1, 3, 2, 0))
-    xi = jnp.transpose(qi, (1, 3, 2, 0))
+    if bstage == "folded":
+        # ---- B-engine: explicit int8 corner-turn copy + one folded
+        # block-complex dot per channel (M = P·S) ----
+        beam_re, beam_im = beamform_planes_folded(
+            qr, qi, coeff_blocks, precision
+        )
+    else:
+        # ---- corner turn (layout only; folded by XLA) ----
+        # [A, P, S, C] -> [P, C, S, A] per plane
+        xr = jnp.transpose(qr, (1, 3, 2, 0))
+        xi = jnp.transpose(qi, (1, 3, 2, 0))
 
-    # ---- B-engine: channel-batched planar matmuls with cached coeffs ----
-    cos, sin = coeff_blocks
-    beam_re, beam_im = beamform_planes(xr, xi, cos, sin, precision)
+        # ---- B-engine: channel-batched planar matmuls w/ cached coeffs ----
+        cos, sin = coeff_blocks
+        beam_re, beam_im = beamform_planes(xr, xi, cos, sin, precision)
     if beam_quant_scale is not None:
         beam_re = requantise(beam_re, beam_quant_scale)
         beam_im = requantise(beam_im, beam_quant_scale)

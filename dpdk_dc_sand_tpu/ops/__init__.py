@@ -10,6 +10,7 @@ reference's per-shape mako/numba JIT specialisation
 from dpdk_dc_sand_tpu.ops.coeff_gen import (  # noqa: F401
     steering_coeffs,
     steering_coeff_matrix,
+    steering_coeff_blockcat,
     generate_coeff_matrix,
 )
 from dpdk_dc_sand_tpu.ops.reorder import (  # noqa: F401
@@ -20,6 +21,7 @@ from dpdk_dc_sand_tpu.ops.beamform import (  # noqa: F401
     beamform,
     beamform_matrix,
     beamform_planes,
+    beamform_planes_folded,
 )
 from dpdk_dc_sand_tpu.ops.pfb import pfb_fir, pfb_channelise  # noqa: F401
 from dpdk_dc_sand_tpu.ops.delay import (  # noqa: F401

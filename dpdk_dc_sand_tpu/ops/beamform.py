@@ -219,3 +219,57 @@ def beamform_folded(
     )  # [chan, ..., time, 2B]
     out = jnp.moveaxis(out, 0, -3)
     return out.reshape(*lead, c, t, out.shape[-1] // 2, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def beamform_planes_folded(
+    qr: jax.Array,
+    qi: jax.Array,
+    blocks: jax.Array,
+    precision: str = "bf16",
+) -> tuple[jax.Array, jax.Array]:
+    """Beamform int8 F-engine planes with ONE folded dot per channel.
+
+    The planar 4-dot form leaves the corner turn to XLA fusion, which
+    lowers to 65k tiny batched matmuls (M=S, K=A, N=B) with strided
+    plane reads — measured >10× off the MXU floor at the flagship config
+    (benchmarks/bstage_honest.py). This form materialises the corner
+    turn as one explicit int8 copy and contracts the complex fold in a
+    single channel-batched matmul with M=P·S — the reference's
+    rotation-block trick (complex_mult_kernel.py:126-134) in lane-concat
+    layout.
+
+    Parameters
+    ----------
+    qr, qi:
+        ``[A, P, S, C]`` (re, im) sample planes, int8 ideal — the
+        F-engine output layout, no pre-transpose needed.
+    blocks:
+        ``[C, 2A, 2B]`` block-concat steering weights from
+        :func:`~dpdk_dc_sand_tpu.ops.steering_coeff_blockcat` (bf16
+        storage recommended for the bf16 path).
+
+    Returns
+    -------
+    ``(beam_re, beam_im)`` each ``[P, C, S, B]`` float32.
+    """
+    a, p, s, c = qr.shape
+    xr = jnp.transpose(qr, (3, 1, 2, 0)).reshape(c, p * s, a)
+    xi = jnp.transpose(qi, (3, 1, 2, 0)).reshape(c, p * s, a)
+    # Materialise the corner turn as an int8 copy; the barrier stops XLA
+    # re-fusing the strided reads into the dot.
+    x = jax.lax.optimization_barrier(jnp.concatenate([xr, xi], -1))
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    prec = None if precision == "bf16" else lax.Precision.HIGHEST
+    out = lax.dot_general(
+        x.astype(dt),
+        blocks.astype(dt),
+        (((2,), (1,)), ((0,), (0,))),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )  # [C, P*S, 2B]
+    nb = blocks.shape[-1] // 2
+    out = out.reshape(c, p, s, 2 * nb)
+    beam_re = jnp.transpose(out[..., :nb], (1, 0, 2, 3))
+    beam_im = jnp.transpose(out[..., nb:], (1, 0, 2, 3))
+    return beam_re, beam_im

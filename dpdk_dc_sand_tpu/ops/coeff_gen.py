@@ -85,6 +85,24 @@ def steering_coeff_matrix(cos: jax.Array, sin: jax.Array) -> jax.Array:
     return m.reshape(*lead, 2 * n_ants, 2 * n_beams)
 
 
+def steering_coeff_blockcat(cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Expand (cos, sin) planes to block-concat complex-fold weights.
+
+    ``[..., beam, ant]`` → ``[..., 2A, 2B]`` with quadrant layout
+    ``[[cᵀ, sᵀ], [−sᵀ, cᵀ]]`` — the fold matching samples concatenated
+    as ``[re_0..re_{A−1}, im_0..im_{A−1}]`` on the contraction axis, so
+    ``X @ W = [beam_re | beam_im]``. Same arithmetic as
+    :func:`steering_coeff_matrix` (coeff_generator.py:91-103) in the
+    lane-concat layout the folded B-stage consumes
+    (:func:`~dpdk_dc_sand_tpu.ops.beamform.beamform_planes_folded`).
+    """
+    ct = jnp.swapaxes(cos, -1, -2)  # [..., ant, beam]
+    st = jnp.swapaxes(sin, -1, -2)
+    top = jnp.concatenate([ct, st], -1)  # [..., A, 2B]
+    bot = jnp.concatenate([-st, ct], -1)
+    return jnp.concatenate([top, bot], -2)  # [..., 2A, 2B]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -246,3 +246,18 @@ class TestVisibilityAccumulator:
         np.testing.assert_allclose(
             np.asarray(vim_w), 2 * np.asarray(vim), rtol=1e-6
         )
+
+
+def test_fbengine_folded_bstage_matches_planar():
+    """bstage="folded" single-dot beamform == planar 4-dot beamform.
+
+    Same arithmetic (block-concat weights vs planar cos/sin), f32 MACs
+    both sides, so beams agree to float tolerance.
+    """
+    cfg = ArrayConfig(n_ants=5, n_channels=64, n_beams=3, n_taps=4)
+    planar = FBEngine(cfg, n_spectra=8, precision="f32")
+    folded = FBEngine(cfg, n_spectra=8, precision="f32", bstage="folded")
+    inputs = planar.example_inputs()
+    want = np.asarray(planar(*inputs))
+    got = np.asarray(folded(*inputs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
