@@ -34,7 +34,7 @@ import time
 ADC_RATE_MSPS = 1712.0  # MeerKAT digitiser, Msamples/s per antenna-pol
 
 
-def build(cfg, n_spectra, fengine, bstage="planar"):
+def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +42,7 @@ def build(cfg, n_spectra, fengine, bstage="planar"):
 
     fb = FBEngine(
         cfg, n_spectra=n_spectra, fengine=fengine, precision="bf16",
-        bstage=bstage,
+        bstage=bstage, ct_batch_a=ct_batch_a,
     )
     adc, cd, fd, ph, dv = fb.example_inputs(margin=16)
     adc_d = jax.device_put(jnp.asarray(adc))
@@ -80,8 +80,10 @@ def build(cfg, n_spectra, fengine, bstage="planar"):
     return chained, adc_d, fd_d, blocks
 
 
-def measure(cfg, n_spectra, fengine, bstage="planar"):
-    chained, adc_d, fd_d, blocks = build(cfg, n_spectra, fengine, bstage)
+def measure(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False):
+    chained, adc_d, fd_d, blocks = build(
+        cfg, n_spectra, fengine, bstage, ct_batch_a
+    )
     r2, r6 = chained(2), chained(6)
     float(r2(adc_d, fd_d, blocks))  # compile
     float(r6(adc_d, fd_d, blocks))  # compile
@@ -103,20 +105,22 @@ def main() -> None:
 
     flagship = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
     attempts = [
-        # S=128 measured fastest (benchmarks/honest_tune.py: 15.4 Gs/s vs
-        # 13.5 at S=64, 11.5 at S=32 — larger S amortises kernel DMA and
-        # fattens the B-stage matmul M dim); smaller S as OOM fallbacks.
-        (flagship, 128, "fused"),
-        (flagship, 64, "fused"),
-        (flagship, 32, "fused"),
-        (flagship, 32, "xla"),
-        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64, "xla"),
-        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla"),
+        # S=128 + batch-A stage-A schedule measured fastest
+        # (benchmarks/honest_tune.py 2026-08-19: 15.89 Gs/s vs 15.39
+        # per-si, 13.5 at S=64, 11.5 at S=32 — larger S amortises kernel
+        # DMA and fattens the B-stage matmul M dim); fallbacks for OOM.
+        (flagship, 128, "fused", True),
+        (flagship, 128, "fused", False),
+        (flagship, 64, "fused", False),
+        (flagship, 32, "fused", False),
+        (flagship, 32, "xla", False),
+        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64, "xla", False),
+        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla", False),
     ]
     value, used = None, None
-    for cfg, n_spectra, fengine in attempts:
+    for cfg, n_spectra, fengine, batch_a in attempts:
         try:
-            value = measure(cfg, n_spectra, fengine)
+            value = measure(cfg, n_spectra, fengine, ct_batch_a=batch_a)
             used = (cfg, n_spectra)
             break
         except Exception as e:  # OOM / unsupported: fall back smaller

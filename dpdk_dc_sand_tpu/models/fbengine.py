@@ -59,6 +59,7 @@ class FBEngine:
         beam_quant_scale: float | None = None,
         fengine_interpret: bool = False,
         bstage: str = "planar",
+        ct_batch_a: bool = False,
     ) -> None:
         if fengine not in ("xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -97,6 +98,7 @@ class FBEngine:
                 beam_quant_scale=beam_quant_scale,
                 fengine_interpret=fengine_interpret,
                 bstage=bstage,
+                ct_batch_a=ct_batch_a,
             )
         )
 
@@ -227,6 +229,7 @@ def _fb_step(
     beam_quant_scale: float | None = None,
     fengine_interpret: bool = False,
     bstage: str = "planar",
+    ct_batch_a: bool = False,
 ) -> jax.Array:
     # ---- F-engine ----
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
@@ -252,6 +255,7 @@ def _fb_step(
             quant_scale=quant_scale,
             dft_dtype="float32" if fengine == "fused_f32" else "bfloat16",
             interpret=fengine_interpret,
+            ct_batch_a=ct_batch_a,
         )
     else:
         spectra = pfb_channelise(

@@ -569,7 +569,11 @@ def fengine_fused(
     n_spectra = n_frames - n_taps + 1
     n = fft_size // 2
     deint, n1, n2 = _deint_mode(n, deint)
-    s_blk = _pick_s_blk(n_spectra, s_blk or _S_BLK_MAX)
+    # batch_a stages [N1, s_blk·N2] + stage-A temps in VMEM; s_blk=16
+    # exceeds the 16 MB scoped-VMEM limit at 256×256 (measured), 8 fits
+    # and beats the per-si schedule (+7% F-only, ROADMAP 2026-08-19).
+    default_blk = 8 if ct_batch_a else _S_BLK_MAX
+    s_blk = _pick_s_blk(n_spectra, s_blk or default_blk)
 
     batch = 1
     for d in lead:
