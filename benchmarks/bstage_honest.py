@@ -49,8 +49,13 @@ def run_variant(variant, S):
     from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
 
     rng = np.random.default_rng(5)
-    qr = jnp.asarray(rng.integers(-64, 64, (A, P, S, C), dtype=np.int8))
-    qi = jnp.asarray(rng.integers(-64, 64, (A, P, S, C), dtype=np.int8))
+    if variant in ("turned_sub", "turned_min"):
+        shape = (C, 2 * A, P * S) if variant == "turned_sub" else (C, P * S, 2 * A)
+        qr = jnp.asarray(rng.integers(-64, 64, shape, dtype=np.int8))
+        qi = qr  # unused second carry
+    else:
+        qr = jnp.asarray(rng.integers(-64, 64, (A, P, S, C), dtype=np.int8))
+        qi = jnp.asarray(rng.integers(-64, 64, (A, P, S, C), dtype=np.int8))
     cos, sin, wf = build_weights(rng)
     # [C, B, A] planes for planar4; folded blocks for the others.
     cosp = jnp.asarray(np.swapaxes(cos, 1, 2), jnp.bfloat16)
@@ -58,7 +63,23 @@ def run_variant(variant, S):
     wfb = jnp.asarray(wf, jnp.bfloat16)
     wf8 = jnp.asarray(np.clip(np.rint(wf * 127.0), -127, 127), jnp.int8)
 
-    def step(qr_c, qi_c):
+    def step(qr_c, qi_c, cosp, sinp, wfb, wf8):
+        if variant in ("turned_sub", "turned_min"):
+            # Pre-turned operands (loop-carried): isolates the dot +
+            # output-handling cost per corner-turn output layout.
+            # turned_sub: x_t [C, 2A, P*S], contract the sublane axis.
+            # turned_min: x_t [C, P*S, 2A], contract the minor axis.
+            x = qr_c  # already shaped by the caller
+            cdim = 1 if variant == "turned_sub" else 2
+            out = jax.lax.dot_general(
+                x.astype(jnp.bfloat16), wfb,
+                (((cdim,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [C, P*S, 2B]
+            out = out.reshape(C, P, S, 2 * B)
+            br = jnp.transpose(out[..., :B], (1, 0, 2, 3))
+            bi = jnp.transpose(out[..., B:], (1, 0, 2, 3))
+            return br.sum() + bi.sum()
         if variant == "planar4":
             xr = jnp.transpose(qr_c, (1, 3, 2, 0))
             xi = jnp.transpose(qi_c, (1, 3, 2, 0))
@@ -87,15 +108,17 @@ def run_variant(variant, S):
         return out.sum()
 
     def factory(n_iters):
+        # Weights ride as arguments: closing over multi-hundred-MB device
+        # arrays bakes them into the program (relay rejects the upload).
         @jax.jit
-        def run(qr0, qi0):
+        def run(qr0, qi0, cosp, sinp, wfb, wf8):
             def body(i, carry):
                 qr_c, qi_c, acc = carry
-                probe = step(qr_c, qi_c) * 1e-30
+                probe = step(qr_c, qi_c, cosp, sinp, wfb, wf8) * 1e-30
                 p8 = probe.astype(jnp.int8)
                 return (
-                    qr_c.at[0, 0, 0, 0].add(p8),
-                    qi_c.at[0, 0, 0, 0].add(p8),
+                    qr_c.at[(0,) * qr_c.ndim].add(p8),
+                    qi_c.at[(0,) * qi_c.ndim].add(p8),
                     acc + probe,
                 )
 
@@ -107,16 +130,16 @@ def run_variant(variant, S):
 
     r2, r6 = factory(2), factory(6)
     t0 = time.time()
-    float(r2(qr, qi))
+    float(r2(qr, qi, cosp, sinp, wfb, wf8))
     comp = time.time() - t0
-    float(r6(qr, qi))
+    float(r6(qr, qi, cosp, sinp, wfb, wf8))
     t2 = t6 = float("inf")
     for _ in range(2):
         t0 = time.time()
-        float(r2(qr, qi))
+        float(r2(qr, qi, cosp, sinp, wfb, wf8))
         t2 = min(t2, time.time() - t0)
         t0 = time.time()
-        float(r6(qr, qi))
+        float(r6(qr, qi, cosp, sinp, wfb, wf8))
         t6 = min(t6, time.time() - t0)
     per = max((t6 - t2) / 4, 1e-9)
     samples = A * P * S * C * 2  # ADC-equivalent samples (C = fft/2)

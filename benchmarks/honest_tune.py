@@ -89,14 +89,17 @@ def main() -> None:
     cfg = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
 
-    if mode in ("full", "fullb", "fullba"):
+    if mode in ("full", "fullb", "fullba", "fullt", "fullta"):
         spectra = [int(a) for a in sys.argv[2:]] or [32, 64, 128]
-        bstage = "folded" if mode == "fullb" else "planar"
+        bstage = {"fullb": "folded", "fullt": "turned", "fullta": "turned"}.get(
+            mode, "planar"
+        )
         for s in spectra:
             try:
                 t0 = time.time()
                 msps = measure(
-                    cfg, s, "fused", bstage, ct_batch_a=(mode == "fullba")
+                    cfg, s, "fused", bstage,
+                    ct_batch_a=(mode in ("fullba", "fullta")),
                 )
                 samples = cfg.n_ants * cfg.n_pols * s * cfg.fft_size
                 print(

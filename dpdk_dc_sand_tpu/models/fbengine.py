@@ -19,7 +19,11 @@ import numpy as np
 
 from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
-from dpdk_dc_sand_tpu.ops.beamform import beamform_planes, beamform_planes_folded
+from dpdk_dc_sand_tpu.ops.beamform import (
+    beamform_planes,
+    beamform_planes_folded,
+    beamform_turned,
+)
 from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat, steering_coeffs
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay, coarse_delay
 from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
@@ -63,7 +67,7 @@ class FBEngine:
     ) -> None:
         if fengine not in ("xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
-        if bstage not in ("planar", "folded"):
+        if bstage not in ("planar", "folded", "turned"):
             raise ValueError(f"unknown bstage backend {bstage!r}")
         self.cfg = cfg
         self.n_spectra = n_spectra
@@ -80,7 +84,7 @@ class FBEngine:
                 _coeff_blocks,
                 cfg=cfg,
                 dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
-                folded=(bstage == "folded"),
+                folded=(bstage in ("folded", "turned")),
             )
         )
         self._coeff_blocks = None
@@ -277,7 +281,18 @@ def _fb_step(
         qr = requantise(re, quant_scale)  # [A, P, S, C] int8
         qi = requantise(im, quant_scale)
 
-    if bstage == "folded":
+    if bstage == "turned":
+        # ---- B-engine fast path: Pallas corner-turn kernel (explicit
+        # DMA tiling + Mosaic 8-bit in-VMEM transpose, ~390 GB/s vs
+        # ~34 GB/s for the XLA turn) + one folded block-complex dot per
+        # channel ----
+        from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
+
+        x_t = corner_turn_planes(qr, qi, interpret=fengine_interpret)
+        beam_re, beam_im = beamform_turned(
+            x_t, coeff_blocks, n_pols=cfg.n_pols, precision=precision
+        )
+    elif bstage == "folded":
         # ---- B-engine: explicit int8 corner-turn copy + one folded
         # block-complex dot per channel (M = P·S) ----
         beam_re, beam_im = beamform_planes_folded(

@@ -22,6 +22,7 @@ from dpdk_dc_sand_tpu.ops.beamform import (  # noqa: F401
     beamform_matrix,
     beamform_planes,
     beamform_planes_folded,
+    beamform_turned,
 )
 from dpdk_dc_sand_tpu.ops.pfb import pfb_fir, pfb_channelise  # noqa: F401
 from dpdk_dc_sand_tpu.ops.delay import (  # noqa: F401
@@ -29,6 +30,10 @@ from dpdk_dc_sand_tpu.ops.delay import (  # noqa: F401
     apply_fine_delay,
 )
 from dpdk_dc_sand_tpu.ops.requant import requantise  # noqa: F401
+from dpdk_dc_sand_tpu.ops.corner_turn import (  # noqa: F401
+    corner_turn_planes,
+    corner_turn_supported,
+)
 from dpdk_dc_sand_tpu.ops.correlate import (  # noqa: F401
     correlate,
     correlate_accumulate,

@@ -221,6 +221,50 @@ def beamform_folded(
     return out.reshape(*lead, c, t, out.shape[-1] // 2, 2)
 
 
+@functools.partial(jax.jit, static_argnames=("n_pols", "precision"))
+def beamform_turned(
+    x_t: jax.Array,
+    blocks: jax.Array,
+    n_pols: int = 2,
+    precision: str = "bf16",
+) -> tuple[jax.Array, jax.Array]:
+    """Beamform corner-turned int8 samples with one folded dot per channel.
+
+    The fast production B-stage: consumes the Pallas corner-turn output
+    directly (no XLA-side transpose — the ~34 GB/s 8-bit transpose this
+    replaces was the fused pipeline's dominant cost, ROADMAP 2026-08-19).
+
+    Parameters
+    ----------
+    x_t:
+        ``[C, 2A, P·S]`` int8 from
+        :func:`~dpdk_dc_sand_tpu.ops.corner_turn.corner_turn_planes` —
+        rows ``k = reim·A + a``, lanes ``m = p·S + s``.
+    blocks:
+        ``[C, 2A, 2B]`` block-concat steering weights
+        (:func:`~dpdk_dc_sand_tpu.ops.coeff_gen.steering_coeff_blockcat`).
+
+    Returns
+    -------
+    ``(beam_re, beam_im)`` each ``[P, C, S, B]`` float32.
+    """
+    c, k2, m = x_t.shape
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    prec = None if precision == "bf16" else lax.Precision.HIGHEST
+    out = lax.dot_general(
+        x_t.astype(dt),
+        blocks.astype(dt),
+        (((1,), (1,)), ((0,), (0,))),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )  # [C, P·S, 2B]
+    nb = blocks.shape[-1] // 2
+    out = out.reshape(c, n_pols, m // n_pols, 2 * nb)
+    beam_re = jnp.transpose(out[..., :nb], (1, 0, 2, 3))
+    beam_im = jnp.transpose(out[..., nb:], (1, 0, 2, 3))
+    return beam_re, beam_im
+
+
 @functools.partial(jax.jit, static_argnames=("precision",))
 def beamform_planes_folded(
     qr: jax.Array,

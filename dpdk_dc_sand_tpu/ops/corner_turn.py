@@ -1,0 +1,158 @@
+"""Pallas pre-beamform corner turn: int8 [A, P, S, C] → [C, 2A, P·S].
+
+The TPU replacement for the reference's dedicated reorder kernel
+(``beamformer/beamforming/prebeamform_reorder.py:59-60`` +
+``kernels/prebeamform_reorder_kernel.mako:53-80``): the F-engine emits
+channel-minor int8 (re, im) planes, while every beamform formulation
+needs antenna-contiguous tiles per channel. Leaving the turn to XLA
+fusion (or an XLA transpose copy) runs at ~34 GB/s effective at the
+flagship config — XLA's 8-bit transposes are scalar-ish — making the
+F→B handoff the dominant cost of the fused pipeline (ROADMAP 2026-08-19:
+26.6 of 49.8 ms at S=64). This kernel does the same permute with
+explicit DMA tiling and Mosaic's packed 8-bit in-VMEM transpose at
+~390 GB/s effective (benchmarks/ct_kernel_probe.py: 6.8 ms at S=128,
+measured on v5e).
+
+Output layout — ``[C, 2A, P·S]``:
+
+- antennas on **sublanes**: ``2A`` rows (re block then im block, the
+  rotation-block fold of complex_mult_kernel.py:126-134); for int8 the
+  sublane tile is 32, so e.g. 2A=160 is five exact tiles, no padding;
+- (pol, spectrum) on **lanes**: the beamform's M axis;
+- the beamform contracts the sublane axis directly:
+  ``beam[c, m, n] = Σ_k x[c, k, m] · w[c, k, n]`` with the
+  ``[C, 2A, 2B]`` block-concat steering weights
+  (:func:`~dpdk_dc_sand_tpu.ops.coeff_gen.steering_coeff_blockcat`).
+
+In-kernel method: the ``(2, 0, 1)`` permute of an ``[A, s, c]`` tile is
+a 2D ``[A·s, c]`` transpose followed by a minor-dim split reshape —
+both have native Mosaic lowerings for int8 (the direct 3D permute does
+not lower, measured 2026-08-19).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: Channel-block width (lanes of the input tile / rows of the output).
+_C_BLK = 128
+#: Lane chunk of the output (per-pol spectra per grid step) when the
+#: spectra axis is split; the full-P·S form is used for small S.
+_S_CHUNK = 128
+#: VMEM cap for the full-P·S (small-S) form: in + out blocks, double
+#: buffered (bytes).
+_VMEM_CAP = 14 * 1024 * 1024
+
+
+def corner_turn_supported(n_ants: int, n_pols: int, n_spectra: int, n_channels: int) -> bool:
+    """Whether the Pallas kernel handles this geometry (else XLA turn).
+
+    Requires the channel axis to tile by 128 (or be a single block) and
+    the spectra axis to either tile by 128 per pol or fit in VMEM whole.
+    """
+    if n_channels % _C_BLK and n_channels >= _C_BLK:
+        return False
+    if n_spectra % _S_CHUNK == 0:
+        return True
+    c_blk = min(_C_BLK, n_channels)
+    per_step = (
+        2 * 2 * n_ants * n_pols * n_spectra * c_blk  # two in planes, dbuf
+        + 2 * c_blk * 2 * n_ants * n_pols * n_spectra  # out, dbuf
+    )
+    return per_step <= _VMEM_CAP
+
+
+def _kernel_split(qr_ref, qi_ref, out_ref, *, a, s_chunk, c_blk):
+    """Per-(channel-block, pol, spectra-chunk) grid step."""
+    xr = qr_ref[:, 0]  # [A, s_chunk, c_blk] int8
+    xi = qi_ref[:, 0]
+
+    def turn(x):
+        t = x.reshape(a * s_chunk, c_blk).T
+        return t.reshape(c_blk, a, s_chunk)
+
+    out_ref[:, 0:a, :] = turn(xr)
+    out_ref[:, a : 2 * a, :] = turn(xi)
+
+
+def _kernel_full(qr_ref, qi_ref, out_ref, *, a, p, s, c_blk):
+    """Per-channel-block grid step covering all pols and spectra."""
+    xr = qr_ref[:]  # [A, P, S, c_blk] int8
+    xi = qi_ref[:]
+
+    def turn(x):
+        t = x.reshape(a * p * s, c_blk).T
+        return t.reshape(c_blk, a, p * s)
+
+    out_ref[:, 0:a, :] = turn(xr)
+    out_ref[:, a : 2 * a, :] = turn(xi)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def corner_turn_planes(
+    qr: jax.Array, qi: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Turn int8 F-engine planes into the beamform operand layout.
+
+    Parameters
+    ----------
+    qr, qi:
+        ``[A, P, S, C]`` (re, im) sample planes, int8 — the F-engine
+        output layout.
+
+    Returns
+    -------
+    ``[C, 2A, P·S]`` int8 with rows ``k = reim·A + a`` and lanes
+    ``m = p·S + s`` — feed straight into
+    :func:`~dpdk_dc_sand_tpu.ops.beamform.beamform_turned`.
+    """
+    a, p, s, c = qr.shape
+    assert qi.shape == qr.shape
+    c_blk = min(_C_BLK, c)
+    n_cb = c // c_blk
+    out_shape = jax.ShapeDtypeStruct((c, 2 * a, p * s), jnp.int8)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * (3 if s % _S_CHUNK == 0 else 1),
+    )
+    if s % _S_CHUNK == 0:
+        n_sb = s // _S_CHUNK
+        in_spec = pl.BlockSpec(
+            (a, 1, _S_CHUNK, c_blk),
+            lambda cb, pp, sb: (0, pp, sb, cb),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_split, a=a, s_chunk=_S_CHUNK, c_blk=c_blk
+            ),
+            grid=(n_cb, p, n_sb),
+            in_specs=[in_spec, in_spec],
+            out_specs=pl.BlockSpec(
+                (c_blk, 2 * a, _S_CHUNK),
+                lambda cb, pp, sb: (cb, 0, pp * n_sb + sb),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=interpret,
+        )(qr, qi)
+
+    in_spec = pl.BlockSpec(
+        (a, p, s, c_blk), lambda cb: (0, 0, 0, cb), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_full, a=a, p=p, s=s, c_blk=c_blk),
+        grid=(n_cb,),
+        in_specs=[in_spec, in_spec],
+        out_specs=pl.BlockSpec(
+            (c_blk, 2 * a, p * s), lambda cb: (cb, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=out_shape,
+        compiler_params=params,
+        interpret=interpret,
+    )(qr, qi)

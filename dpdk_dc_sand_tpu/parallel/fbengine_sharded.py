@@ -70,9 +70,12 @@ class ShardedFBEngine:
         scatter_beams: bool = False,
         fengine: str = "xla",
         fengine_interpret: bool = False,
+        bstage: str = "planar",
     ) -> None:
         if fengine not in ("xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
+        if bstage not in ("planar", "turned"):
+            raise ValueError(f"unknown bstage backend {bstage!r}")
         ant_size = mesh.shape["ant"]
         time_size = mesh.shape["time"]
         if cfg.n_ants % ant_size:
@@ -104,6 +107,7 @@ class ShardedFBEngine:
             scatter_beams=scatter_beams,
             fengine=fengine,
             fengine_interpret=fengine_interpret,
+            bstage=bstage,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
@@ -221,6 +225,7 @@ def _sharded_fb_body(
     scatter_beams: bool = False,
     fengine: str = "xla",
     fengine_interpret: bool = False,
+    bstage: str = "planar",
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -275,7 +280,20 @@ def _sharded_fb_body(
     # collective: all-reduce (psum) for replicated beams, or
     # reduce-scatter (psum_scatter over the beam axis) — the warp-shuffle
     # tree of BeamformerKernels.cu:318-341 at ICI scale.
-    pre, pim = beamform_planes(xr, xi, cos_l, sin_l, precision)
+    if bstage == "turned":
+        # Local corner turn via the Pallas kernel (the XLA turn runs at
+        # ~34 GB/s effective; see ops/corner_turn.py) + one folded dot.
+        from dpdk_dc_sand_tpu.ops.beamform import beamform_turned
+        from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat
+        from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
+
+        x_t = corner_turn_planes(ar, ai, interpret=fengine_interpret)
+        blocks = steering_coeff_blockcat(cos_l, sin_l)
+        pre, pim = beamform_turned(
+            x_t, blocks, n_pols=cfg.n_pols, precision=precision
+        )
+    else:
+        pre, pim = beamform_planes(xr, xi, cos_l, sin_l, precision)
     if scatter_beams:
         pre = lax.psum_scatter(pre, "ant", scatter_dimension=3, tiled=True)
         pim = lax.psum_scatter(pim, "ant", scatter_dimension=3, tiled=True)

@@ -261,3 +261,22 @@ def test_fbengine_folded_bstage_matches_planar():
     want = np.asarray(planar(*inputs))
     got = np.asarray(folded(*inputs))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fbengine_turned_bstage_matches_planar():
+    """bstage="turned" (Pallas corner turn + folded dot) == planar.
+
+    Same arithmetic through a different data path: the corner turn is an
+    exact int8 permute and the folded dot is the same f32 contraction, so
+    beams agree to float tolerance.
+    """
+    cfg = ArrayConfig(n_ants=5, n_channels=64, n_beams=3, n_taps=4)
+    planar = FBEngine(cfg, n_spectra=8, precision="f32")
+    turned = FBEngine(
+        cfg, n_spectra=8, precision="f32", bstage="turned",
+        fengine_interpret=True,
+    )
+    inputs = planar.example_inputs()
+    want = np.asarray(planar(*inputs))
+    got = np.asarray(turned(*inputs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)

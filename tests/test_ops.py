@@ -314,3 +314,30 @@ def test_requantise_matches_golden():
     got = np.asarray(ops.requantise(x, 0.5))
     want = golden.requantise(x, 0.5)
     np.testing.assert_array_equal(got, want)
+
+
+# ----------------------------------------------------------------------
+# Pallas corner turn: exact (both kernel forms, interpreter mode on CPU)
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "a,p,s,c",
+    [
+        (5, 2, 8, 64),  # full-P·S form (S not a multiple of 128)
+        (3, 2, 128, 128),  # split form (per-pol 128-lane spectra chunks)
+        (4, 2, 64, 256),  # full form, multi-channel-block
+    ],
+)
+def test_corner_turn_matches_transpose(a, p, s, c):
+    """Pallas corner turn == the reference permute, bit-exact.
+
+    The golden model is the XLA transpose the kernel replaces:
+    [A, P, S, C] planes -> [C, 2A, P·S] with rows k = reim·A + a_idx
+    (prebeamform_reorder.py corner-turn contract in the folded layout).
+    """
+    qr = RNG.integers(-128, 128, (a, p, s, c)).astype(np.int8)
+    qi = RNG.integers(-128, 128, (a, p, s, c)).astype(np.int8)
+    got = np.asarray(ops.corner_turn_planes(qr, qi, interpret=True))
+    want_r = np.transpose(qr, (3, 1, 2, 0)).reshape(c, p * s, a)
+    want_i = np.transpose(qi, (3, 1, 2, 0)).reshape(c, p * s, a)
+    want = np.concatenate([want_r, want_i], -1).transpose(0, 2, 1)
+    np.testing.assert_array_equal(got, want)

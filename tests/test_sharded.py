@@ -202,3 +202,17 @@ def test_sharded_fused_fengine_matches_single_chip_fused():
         fb(adc_ext, np.zeros(cfg.n_ants, np.int32), fd, ph, dv)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
+
+
+def test_sharded_turned_bstage_matches_planar():
+    """bstage="turned" (Pallas corner turn in-shard) ≡ planar sharded."""
+    mesh = make_mesh(4, shape=(2, 2))
+    cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
+    planar = ShardedFBEngine(cfg, mesh, n_spectra=8)
+    turned = ShardedFBEngine(
+        cfg, mesh, n_spectra=8, bstage="turned", fengine_interpret=True
+    )
+    adc, fd, ph, dv = planar.example_inputs()
+    want = np.asarray(planar(adc, fd, ph, dv))
+    got = np.asarray(turned(adc, fd, ph, dv))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
