@@ -47,6 +47,23 @@ def make_ct(mode, c_blk, s_chunk, S):
             out_ref[1, :, 0] = xi
             return
 
+        if mode in ("i8m", "i8m2"):
+            # Minor-antenna layout [C, P*S, 2A]: lanes = 2A so the folded
+            # dot contracts the minor axis (the XLA-native gemm form).
+            def turn_m(x):
+                if mode == "i8m":
+                    # swap (A, s) majors first, then 2D transpose.
+                    w = jnp.swapaxes(x, 0, 1)  # [s_chunk, A, c_blk]
+                    t = w.reshape(s_chunk * A, c_blk).T
+                    return t.reshape(c_blk, s_chunk, A)
+                # i8m2: 2D transpose then batched minor-2 transpose.
+                t = x.reshape(A * s_chunk, c_blk).T.reshape(c_blk, A, s_chunk)
+                return jnp.swapaxes(t, 1, 2)
+
+            out_ref[:, :, 0:A] = turn_m(xr)
+            out_ref[:, :, A : 2 * A] = turn_m(xi)
+            return
+
         def turn(x):
             # (2,0,1) permute as a 2D transpose + minor-split reshape
             # (Mosaic supports 8-bit 2D transposes; the direct 3D permute
@@ -71,6 +88,13 @@ def make_ct(mode, c_blk, s_chunk, S):
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((2, A, P, S, C), jnp.int8)
+    elif mode in ("i8m", "i8m2"):
+        out_spec = pl.BlockSpec(
+            (c_blk, s_chunk, 2 * A),
+            lambda cb, p, sb: (cb, p * n_sb + sb, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((C, P * S, 2 * A), jnp.int8)
     else:
         out_spec = pl.BlockSpec(
             (c_blk, 2 * A, s_chunk),
@@ -109,13 +133,15 @@ def run_variant(spec, S):
 
     # Correctness check once (tiny probe elements via device-side compare).
     out = ct(qr, qi)
-    if mode != "copy":
+    if mode == "copy":
+        ok = bool(jnp.all(out[0] == qr) & jnp.all(out[1] == qi))
+    else:
         want_r = jnp.transpose(qr, (3, 1, 2, 0)).reshape(C, P * S, A)
         want_i = jnp.transpose(qi, (3, 1, 2, 0)).reshape(C, P * S, A)
         want = jnp.concatenate([want_r, want_i], -1)  # [C, PS, 2A]
-        ok = bool(jnp.all(out == jnp.transpose(want, (0, 2, 1))))
-    else:
-        ok = bool(jnp.all(out[0] == qr) & jnp.all(out[1] == qi))
+        if mode not in ("i8m", "i8m2"):
+            want = jnp.transpose(want, (0, 2, 1))
+        ok = bool(jnp.all(out == want))
     tag = "OK " if ok else "BAD"
 
     def factory(n_iters):

@@ -13,8 +13,11 @@ mechanism SensorMirror consumes (corr3_servlet.py:14-64).
 from __future__ import annotations
 
 import asyncio
+import hashlib
+import hmac
 import logging
 import re
+import secrets
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -110,6 +113,8 @@ class _ClientConn:
         self.server = server
         self.sampling: set = set()  # sensor names with auto sampling
         self.req_mid: Optional[int] = None  # mid of the request in flight
+        self.authed: bool = True  # flipped off when the server has a secret
+        self.nonce: str = ""
 
 
 class DeviceServer:
@@ -123,13 +128,23 @@ class DeviceServer:
     #: KATCP log priorities, lowest to highest.
     LOG_LEVELS = ("all", "trace", "debug", "info", "warn", "error", "fatal", "off")
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth_secret: Optional[str] = None,
+    ) -> None:
         self._host = host
         self._port = port
         self.sensors = SensorSet()
         self._server: Optional[asyncio.AbstractServer] = None
         self._conns: List[_ClientConn] = []
         self._log_level = "warn"
+        #: Optional shared-secret authentication (an extension — KATCP
+        #: itself has none): each connection is challenged with a nonce
+        #: and must present ``?auth HMAC-SHA256(secret, nonce)`` before
+        #: any other request is served.
+        self._auth_secret = auth_secret
 
     # ------------------------------------------------------------------
     async def start(self) -> None:
@@ -143,12 +158,16 @@ class DeviceServer:
         return self._port
 
     async def stop(self) -> None:
-        if self._server is not None:
-            self._server.close()
-            await self._server.wait_closed()
+        # Close live connections BEFORE wait_closed(): since py3.12
+        # wait_closed blocks until every connection handler returns, so a
+        # client that never disconnects (e.g. one that failed auth and
+        # gave up) would wedge shutdown.
         for c in list(self._conns):
             c.writer.close()
         self._conns.clear()
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
 
     # ------------------------------------------------------------------
     def add_sensor(self, sensor: Sensor) -> Sensor:
@@ -192,6 +211,10 @@ class DeviceServer:
 
     async def _handle_conn(self, reader, writer) -> None:
         conn = _ClientConn(reader, writer, self)
+        if self._auth_secret is not None:
+            conn.authed = False
+            conn.nonce = secrets.token_hex(16)
+            self._send(conn, Message(Message.INFORM, "auth-challenge", conn.nonce))
         self._conns.append(conn)
         try:
             while True:
@@ -210,6 +233,14 @@ class DeviceServer:
             writer.close()
 
     async def _dispatch(self, conn: _ClientConn, msg: Message) -> None:
+        if not conn.authed and msg.name != "auth":
+            self._send(
+                conn,
+                Message(
+                    Message.REPLY, msg.name, "fail", "unauthorized", mid=msg.mid
+                ),
+            )
+            return
         handler = getattr(self, "request_" + msg.name.replace("-", "_"), None)
         if handler is None:
             self._send(
@@ -266,6 +297,23 @@ class DeviceServer:
     # ------------------------------------------------------------------
     # Built-in requests
     # ------------------------------------------------------------------
+    async def request_auth(self, conn, digest: str = ""):
+        """Authenticate with ``HMAC-SHA256(secret, nonce)`` (hex).
+
+        The nonce arrived in the connection's ``#auth-challenge`` inform.
+        Constant-time comparison; a failed attempt keeps the connection
+        open but unauthenticated (rate limiting is the deployment's job).
+        """
+        if self._auth_secret is None:
+            return ()
+        want = hmac.new(
+            self._auth_secret.encode(), conn.nonce.encode(), hashlib.sha256
+        ).hexdigest()
+        if not hmac.compare_digest(want, digest):
+            raise FailReply("bad credentials")
+        conn.authed = True
+        return ()
+
     async def request_watchdog(self, conn):
         """Liveness ping."""
         return ()
@@ -366,7 +414,9 @@ class DeviceServer:
 class Client:
     """Asyncio control client with request futures and inform callbacks."""
 
-    def __init__(self, host: str, port: int) -> None:
+    def __init__(
+        self, host: str, port: int, auth_secret: Optional[str] = None
+    ) -> None:
         self.host = host
         self.port = port
         self._reader = None
@@ -375,12 +425,23 @@ class Client:
         self._pending: Dict[int, Tuple[asyncio.Future, List[Message]]] = {}
         self._inform_handlers: List = []
         self._task: Optional[asyncio.Task] = None
+        self._auth_secret = auth_secret
+        self._challenge: Optional[asyncio.Future] = None
 
     async def connect(self, timeout: float = 5.0) -> "Client":
+        if self._auth_secret is not None:
+            self._challenge = asyncio.get_event_loop().create_future()
         self._reader, self._writer = await asyncio.wait_for(
             asyncio.open_connection(self.host, self.port), timeout
         )
         self._task = asyncio.ensure_future(self._run())
+        if self._auth_secret is not None:
+            # Answer the server's nonce challenge before anything else.
+            nonce = await asyncio.wait_for(self._challenge, timeout)
+            digest = hmac.new(
+                self._auth_secret.encode(), nonce.encode(), hashlib.sha256
+            ).hexdigest()
+            await self.request("auth", digest, timeout=timeout)
         return self
 
     def on_inform(self, callback) -> None:
@@ -401,6 +462,13 @@ class Client:
                     if not fut.done():
                         fut.set_result((msg, informs))
                 elif msg.mtype == Message.INFORM:
+                    if (
+                        msg.name == "auth-challenge"
+                        and self._challenge is not None
+                        and not self._challenge.done()
+                    ):
+                        self._challenge.set_result(msg.args[0] if msg.args else "")
+                        continue
                     # mid-tagged informs belong to their pending request;
                     # everything else is unsolicited and goes to handlers.
                     if msg.mid is not None and msg.mid in self._pending:

@@ -95,8 +95,13 @@ class CorrServlet(DeviceServer):
         engine_endpoints: Sequence[Tuple[str, int]] = (),
         request_timeout: float = 5.0,
         request_retries: int = 1,
+        auth_secret: "str | None" = None,
     ) -> None:
-        super().__init__(host, port)
+        # One shared secret covers both faces: the servlet's own server
+        # challenges CAM clients, and the servlet authenticates to the
+        # engine nodes it fronts (which run with the same secret).
+        super().__init__(host, port, auth_secret=auth_secret)
+        self._auth = auth_secret
         self.name = name
         self.n_antennas = n_antennas
         self.request_timeout = request_timeout
@@ -118,7 +123,7 @@ class CorrServlet(DeviceServer):
     async def start(self) -> None:
         await super().start()
         for i, (host, port) in enumerate(self.engine_endpoints):
-            client = await Client(host, port).connect()
+            client = await Client(host, port, auth_secret=self._auth).connect()
             self.engine_clients.append(client)
             mirror = SensorMirror(self, client, prefix=f"node{i}")
             self.mirrors.append(mirror)

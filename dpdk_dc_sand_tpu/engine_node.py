@@ -60,8 +60,10 @@ class EngineNode(DeviceServer):
         use_pallas: bool | None = None,
         fengine: str = "xla",
         beam_quant_scale: float | None = None,
+        bstage: str = "planar",
+        auth_secret: str | None = None,
     ) -> None:
-        super().__init__(host, port)
+        super().__init__(host, port, auth_secret=auth_secret)
         self.cfg = cfg
         self.margin = margin
         self.on_beams = on_beams or (lambda beams, seq: None)
@@ -76,6 +78,7 @@ class EngineNode(DeviceServer):
             use_pallas=use_pallas,
             fengine=fengine,
             beam_quant_scale=beam_quant_scale,
+            bstage=bstage,
         )
         self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
         chunk_bytes = int(np.prod(self.chunk_shape))

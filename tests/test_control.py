@@ -344,3 +344,42 @@ def test_help_and_version_list(loop):
         await srv.stop()
 
     run(loop, scenario())
+
+
+def test_auth_challenge_gates_requests(loop):
+    """Shared-secret extension: unauthenticated requests fail, the HMAC
+    challenge-response admits a client, and a wrong secret is rejected."""
+    from dpdk_dc_sand_tpu.control.protocol import Client, DeviceServer
+
+    async def scenario():
+        server = DeviceServer(port=0, auth_secret="s3cret")
+        await server.start()
+        try:
+            # Right secret: connect() handles the challenge transparently.
+            good = await Client(
+                "127.0.0.1", server.port, auth_secret="s3cret"
+            ).connect()
+            await good.request("watchdog")
+            await good.close()
+
+            # No secret: every request (except ?auth) is refused.
+            bare = Client("127.0.0.1", server.port)
+            await bare.connect()
+            with pytest.raises(FailReply, match="unauthorized"):
+                await bare.request("watchdog")
+            # Wrong digest is rejected, connection stays unauthed.
+            with pytest.raises(FailReply, match="bad credentials"):
+                await bare.request("auth", "0" * 64)
+            with pytest.raises(FailReply, match="unauthorized"):
+                await bare.request("watchdog")
+            await bare.close()
+
+            # Wrong secret via the client helper fails at connect time.
+            with pytest.raises(FailReply):
+                await Client(
+                    "127.0.0.1", server.port, auth_secret="wrong"
+                ).connect()
+        finally:
+            await server.stop()
+
+    run(loop, scenario())
