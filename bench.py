@@ -105,22 +105,25 @@ def main() -> None:
 
     flagship = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
     attempts = [
-        # S=128 + batch-A stage-A schedule measured fastest
-        # (benchmarks/honest_tune.py 2026-08-19: 15.89 Gs/s vs 15.39
-        # per-si, 13.5 at S=64, 11.5 at S=32 — larger S amortises kernel
-        # DMA and fattens the B-stage matmul M dim); fallbacks for OOM.
-        (flagship, 128, "fused", True),
-        (flagship, 128, "fused", False),
-        (flagship, 64, "fused", False),
-        (flagship, 32, "fused", False),
-        (flagship, 32, "xla", False),
-        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64, "xla", False),
-        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla", False),
+        # fused F kernel + batch-A stage-A schedule + Pallas corner-turn
+        # B-stage ("turned") is the measured-best config — the 394 GB/s
+        # corner-turn kernel replaces the ~34 GB/s XLA turn that
+        # dominated the F→B handoff (ops/corner_turn.py; commit 90fc548
+        # measured 16.3 Gs/s at S=128 vs 15.9 planar). Fallbacks in
+        # decreasing ambition for OOM/unsupported geometry.
+        (flagship, 128, "fused", True, "turned"),
+        (flagship, 128, "fused", True, "planar"),
+        (flagship, 128, "fused", False, "planar"),
+        (flagship, 64, "fused", False, "planar"),
+        (flagship, 32, "fused", False, "planar"),
+        (flagship, 32, "xla", False, "planar"),
+        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64, "xla", False, "planar"),
+        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla", False, "planar"),
     ]
     value, used = None, None
-    for cfg, n_spectra, fengine, batch_a in attempts:
+    for cfg, n_spectra, fengine, batch_a, bstage in attempts:
         try:
-            value = measure(cfg, n_spectra, fengine, ct_batch_a=batch_a)
+            value = measure(cfg, n_spectra, fengine, bstage=bstage, ct_batch_a=batch_a)
             used = (cfg, n_spectra)
             break
         except Exception as e:  # OOM / unsupported: fall back smaller

@@ -58,10 +58,11 @@ class EngineNode(DeviceServer):
         ring_slots: int = 8,
         on_beams: Optional[Callable[[np.ndarray, int], None]] = None,
         use_pallas: bool | None = None,
-        fengine: str = "xla",
+        fengine: str = "auto",
         beam_quant_scale: float | None = None,
-        bstage: str = "planar",
+        bstage: str = "auto",
         auth_secret: str | None = None,
+        coeff_update_steps: int = 256,
     ) -> None:
         super().__init__(host, port, auth_secret=auth_secret)
         self.cfg = cfg
@@ -99,6 +100,14 @@ class EngineNode(DeviceServer):
         self._weights_scale = np.ones(cfg.n_ants, np.float32)
         self._steer_version = 0  # bumped by beam-delays / beam-weights
         self._applied_version = -1
+        #: Steering planes are re-extrapolated from the delay/phase rates
+        #: every this many chunks — ACCUMULATIONS_BEFORE_NEW_COEFFS
+        #: (BeamformerParameters.h:17; grouped-timestamps extrapolation,
+        #: BeamformerKernels.cu:153-166). The polynomial epoch is the
+        #: first chunk processed after a ?beam-delays update.
+        self.coeff_update_steps = coeff_update_steps
+        self._epoch_seq: Optional[int] = None
+        self._coeff_seq: Optional[int] = None
 
         self._capturing = threading.Event()
         self._capturing.set()
@@ -222,11 +231,27 @@ class EngineNode(DeviceServer):
                 weights = self._weights_scale.copy()
                 version = self._steer_version
             try:
-                if version != self._applied_version:
-                    # regenerate steering planes only on updates — the
-                    # coefficient-reuse cadence, not per chunk
-                    self.fb.set_beam_delays(dv, ant_weights=weights)
+                updated = version != self._applied_version
+                if updated or self._epoch_seq is None:
+                    # New polynomials (or first chunk): epoch = now.
+                    self._epoch_seq = seq
+                due = (
+                    self._coeff_seq is None
+                    or seq - self._coeff_seq >= self.coeff_update_steps
+                )
+                if updated or due:
+                    # Extrapolate the steering solution to this chunk's
+                    # timestamp via the delay/phase rates — regenerated
+                    # at the coefficient-reuse cadence, not per chunk.
+                    t_s = (
+                        (seq - self._epoch_seq)
+                        * self.fb.n_spectra
+                        * self.cfg.fft_size
+                        * self.cfg.sample_period
+                    )
+                    self.fb.set_beam_delays(dv, ant_weights=weights, t_s=t_s)
                     self._applied_version = version
+                    self._coeff_seq = seq
                 beams = self.fb.step(
                     arr, jnp.asarray(cd), jnp.asarray(fd), jnp.asarray(ph)
                 )

@@ -30,6 +30,56 @@ from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
 from dpdk_dc_sand_tpu.ops.requant import requantise
 
 
+def resolve_backends(
+    cfg: ArrayConfig,
+    n_spectra: int,
+    fengine: str,
+    bstage: str,
+    ct_batch_a,
+    interpret: bool = False,
+) -> tuple[str, str, bool]:
+    """Resolve ``"auto"`` backend selections to concrete backends.
+
+    The measured-fastest configuration (benchmarks/honest_tune.py,
+    2026-08-19: fused + turned + batch-A = the top of bench.py's attempt
+    list) is chosen whenever the geometry supports it and Pallas kernels
+    can actually run (TPU backend, or interpret mode for CPU-mesh tests);
+    otherwise the portable XLA-composed path. Explicit selections pass
+    through unchanged, so tests can pin any backend.
+    """
+    from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_supported
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import fused_supported
+
+    pallas_ok = interpret or jax.default_backend() == "tpu"
+    if fengine == "auto":
+        frames_shape = (
+            cfg.n_ants,
+            cfg.n_pols,
+            n_spectra + cfg.n_taps - 1,
+            cfg.fft_size,
+        )
+        fengine = (
+            "fused"
+            if pallas_ok
+            and fused_supported(frames_shape, cfg.n_taps, cfg.n_channels)
+            else "xla"
+        )
+    if bstage == "auto":
+        bstage = (
+            "turned"
+            if pallas_ok
+            and corner_turn_supported(
+                cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_channels
+            )
+            else "planar"
+        )
+    if ct_batch_a == "auto":
+        # +7% F-only over the per-si schedule, bit-identical output
+        # (ROADMAP 2026-08-19); only meaningful for the fused kernel.
+        ct_batch_a = fengine in ("fused", "fused_f32")
+    return fengine, bstage, bool(ct_batch_a)
+
+
 class FBEngine:
     """End-to-end F+B signal chain over the full band on one chip.
 
@@ -44,6 +94,13 @@ class FBEngine:
         F-engine output requantisation gain.
     precision:
         Beamform precision, ``"f32"`` or ``"bf16"``.
+    fengine / bstage / ct_batch_a:
+        Backend selection; the default ``"auto"`` resolves to the
+        measured-fastest configuration (fused Pallas F kernel + Pallas
+        corner-turn B-stage + batch-A schedule) on TPU where the
+        geometry supports it, else the portable XLA path — see
+        :func:`resolve_backends`. Resolved values are exposed as
+        ``self.fengine`` / ``self.bstage`` / ``self.ct_batch_a``.
     beam_quant_scale:
         When set, beams are requantised to int8 with this gain — the
         8-bit beam transport format of the production egress (the
@@ -59,16 +116,22 @@ class FBEngine:
         quant_scale: float = 1.0 / 16.0,
         precision: str = "f32",
         use_pallas: bool | None = None,
-        fengine: str = "xla",
+        fengine: str = "auto",
         beam_quant_scale: float | None = None,
         fengine_interpret: bool = False,
-        bstage: str = "planar",
-        ct_batch_a: bool = False,
+        bstage: str = "auto",
+        ct_batch_a: bool | str = "auto",
     ) -> None:
-        if fengine not in ("xla", "fused", "fused_f32"):
+        if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
-        if bstage not in ("planar", "folded", "turned"):
+        if bstage not in ("auto", "planar", "folded", "turned"):
             raise ValueError(f"unknown bstage backend {bstage!r}")
+        fengine, bstage, ct_batch_a = resolve_backends(
+            cfg, n_spectra, fengine, bstage, ct_batch_a, fengine_interpret
+        )
+        self.fengine = fengine
+        self.bstage = bstage
+        self.ct_batch_a = ct_batch_a
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -140,7 +203,7 @@ class FBEngine:
         self.set_beam_delays(delay_vals)
         return self._step(adc, coarse_delays, frac_delays, phases, self._coeff_blocks)
 
-    def set_beam_delays(self, delay_vals, ant_weights=None) -> None:
+    def set_beam_delays(self, delay_vals, ant_weights=None, t_s: float = 0.0) -> None:
         """(Re)generate steering rotation blocks from delay polynomials.
 
         Cheap relative to a step but hoisted out of the hot loop:
@@ -151,15 +214,22 @@ class FBEngine:
         ``ant_weights``: optional ``[n_ants]`` per-antenna magnitude
         weights folded into the steering planes (the servlet's
         ``?beam-weights`` contract, corr3_servlet.py:140-153).
+
+        ``t_s``: seconds past the polynomial epoch; the delay/phase
+        *rates* extrapolate the solution to this instant
+        (BeamformerKernels.cu:153-166). Traced — advancing time never
+        recompiles.
         """
-        key = (id(delay_vals), id(ant_weights))
+        key = (id(delay_vals), id(ant_weights), float(t_s))
         if self._coeff_blocks is None or key != self._coeff_key:
             w = (
                 jnp.ones(self.cfg.n_ants, jnp.float32)
                 if ant_weights is None
                 else jnp.asarray(ant_weights, jnp.float32)
             )
-            self._coeff_blocks = self._coeff_fn(jnp.asarray(delay_vals), w)
+            self._coeff_blocks = self._coeff_fn(
+                jnp.asarray(delay_vals), w, jnp.float32(t_s)
+            )
             self._coeff_key = key
 
     def step(self, adc, coarse_delays, frac_delays, phases):
@@ -187,6 +257,7 @@ class FBEngine:
 def _coeff_blocks(
     delay_vals: jax.Array,
     ant_weights: jax.Array,
+    t_s: jax.Array | float = 0.0,
     *,
     cfg: ArrayConfig,
     dtype=jnp.float32,
@@ -198,6 +269,11 @@ def _coeff_blocks(
     planar beamform. ``folded=True``: block-concat ``[C, 2A, 2B]``
     weights for the single-dot form (regenerated only on delay updates,
     so the 4× expansion costs update-time HBM, not step time).
+
+    ``t_s`` (traced scalar — no recompile as time advances): seconds past
+    the polynomial epoch; delay/phase rates extrapolate the solution, the
+    native grouped-timestamps kernel's convention
+    (BeamformerKernels.cu:153-166).
     """
     dv = jnp.broadcast_to(
         delay_vals, (cfg.n_channels,) + tuple(delay_vals.shape)
@@ -208,6 +284,7 @@ def _coeff_blocks(
         n_channels_per_stream=cfg.n_channels,
         sample_period=cfg.sample_period,
         xeng_id=0,
+        t_s=t_s,
     )
     cos = cos * ant_weights
     sin = sin * ant_weights

@@ -4,16 +4,17 @@ One kernel performs the whole F chain in VMEM — int8 frames in, int8
 (re, im) channelised planes out, ~0.85 GB of HBM per flagship step
 instead of ~4.5 GB of materialised f32/complex64 intermediates.
 
-**Measured outcome (v5e, 2026-08, benchmarks/fused_fengine_bench.py):**
-at the flagship config this loses to the composed path — 18.1 ms vs
-7.8 ms full-step — because a two-stage matmul-FFT spends
-``N·(N1+N2) ≈ 384·N`` MXU MACs where a tuned split-radix FFT spends
-``≈ 40·N`` flops, and XLA's TPU FFT keeps the whole composed F-stage at
-1.9 ms; HBM traffic was not the F-stage limiter after all (the F→B
-boundary is — see ROADMAP). Kept as an optional backend
-(``FBEngine(fengine="fused")``): it is the right shape for small FFT
-sizes, for engines starved on HBM, and as the repo's reference for
-multi-stage MXU kernels with manual DMA.
+**Measured outcome (v5e, 2026-08-19, benchmarks/honest_tune.py —
+chained-ADC streaming methodology; earlier numbers from the
+loop-hoisted bench were wrong in both directions):** this kernel IS the
+fast path. The honest composed (XLA) path runs ~92 ms/step ≈ 3.7 Gs/s
+at the flagship config — XLA's TPU rFFT lowers to a four-step 256×256
+matmul-FFT that materialises five ~1.25 GB f32 stage temps per step —
+while this kernel keeps everything in VMEM: F-stage alone 28.9 Gs/s at
+S=64 (31.0 with ``ct_batch_a=True``), full F+B step 15.9 Gs/s with the
+batch-A schedule. The two-stage matmul-FFT spends more MXU MACs than a
+split-radix FFT would, but MACs are not the limiter — HBM traffic is,
+and this form eliminates it.
 
 It is the TPU-native replacement for the reference F-engine's CUDA
 FIR+cuFFT chain (katfgpu, merge_gpu_repositories/do_merge.sh:4-10) with

@@ -68,16 +68,57 @@ class ShardedFBEngine:
         use_pallas: bool | None = None,
         emit_visibilities: bool = False,
         scatter_beams: bool = False,
-        fengine: str = "xla",
+        fengine: str = "auto",
         fengine_interpret: bool = False,
-        bstage: str = "planar",
+        bstage: str = "auto",
+        emit_planes: bool = False,
     ) -> None:
-        if fengine not in ("xla", "fused", "fused_f32"):
+        if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
-        if bstage not in ("planar", "turned"):
+        if bstage not in ("auto", "planar", "turned"):
             raise ValueError(f"unknown bstage backend {bstage!r}")
         ant_size = mesh.shape["ant"]
         time_size = mesh.shape["time"]
+        if fengine == "auto" or bstage == "auto":
+            # Resolve against the PER-SHARD geometry the body actually
+            # sees: each shard channelises the full band for its time
+            # slice (fused F), then after the all_to_all the corner turn
+            # handles all spectra of its channel slice (turned B).
+            import jax as _jax
+
+            from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_supported
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import fused_supported
+
+            pallas_ok = (
+                fengine_interpret or _jax.default_backend() == "tpu"
+            )
+            if fengine == "auto":
+                frames_shape = (
+                    cfg.n_ants // max(ant_size, 1),
+                    cfg.n_pols,
+                    n_spectra // max(time_size, 1) + cfg.n_taps - 1,
+                    cfg.fft_size,
+                )
+                fengine = (
+                    "fused"
+                    if pallas_ok
+                    and fused_supported(frames_shape, cfg.n_taps, cfg.n_channels)
+                    else "xla"
+                )
+            if bstage == "auto":
+                bstage = (
+                    "turned"
+                    if pallas_ok
+                    and corner_turn_supported(
+                        cfg.n_ants // max(ant_size, 1),
+                        cfg.n_pols,
+                        n_spectra,
+                        cfg.n_channels // max(time_size, 1),
+                    )
+                    else "planar"
+                )
+        self.fengine = fengine
+        self.bstage = bstage
         if cfg.n_ants % ant_size:
             raise ValueError("n_ants must divide the ant mesh axis")
         if cfg.n_channels % time_size or n_spectra % time_size:
@@ -86,10 +127,13 @@ class ShardedFBEngine:
             raise ValueError("time shards thinner than the FIR halo")
         if scatter_beams and cfg.n_beams % ant_size:
             raise ValueError("scatter_beams needs n_beams divisible by the ant axis")
+        if emit_planes and (emit_visibilities or scatter_beams):
+            raise ValueError("emit_planes excludes the B/X stages")
         self.cfg = cfg
         self.mesh = mesh
         self.n_spectra = n_spectra
         self.emit_visibilities = emit_visibilities
+        self.emit_planes = emit_planes
         self.scatter_beams = scatter_beams
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
 
@@ -108,17 +152,22 @@ class ShardedFBEngine:
             fengine=fengine,
             fengine_interpret=fengine_interpret,
             bstage=bstage,
+            emit_planes=emit_planes,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
         # dump stays beam-sharded over "ant" — each device owns
         # n_beams/ant_size beams of its channel slice.
         beam_out = P(None, "time", None, "ant" if scatter_beams else None, None)
-        out_specs = (
-            (beam_out, P("time", None, None), P("time", None, None))
-            if emit_visibilities
-            else beam_out
-        )
+        if emit_planes:
+            # Channel-sharded int8 (re, im) planes — the distributed
+            # F-engine product (what an X/B engine would ingest off the
+            # multicast fabric in the reference deployment).
+            out_specs = (P("ant", None, None, "time"),) * 2
+        elif emit_visibilities:
+            out_specs = (beam_out, P("time", None, None), P("time", None, None))
+        else:
+            out_specs = beam_out
         sharded = shard_map(
             body,
             mesh=mesh,
@@ -226,6 +275,7 @@ def _sharded_fb_body(
     fengine: str = "xla",
     fengine_interpret: bool = False,
     bstage: str = "planar",
+    emit_planes: bool = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -272,6 +322,10 @@ def _sharded_fb_body(
     # 3. Distributed corner turn: spectra-sharding -> channel-sharding.
     ar = lax.all_to_all(qr, "time", split_axis=3, concat_axis=2, tiled=True)
     ai = lax.all_to_all(qi, "time", split_axis=3, concat_axis=2, tiled=True)
+    if emit_planes:
+        # Distributed F-engine product: [A_loc, P, S_full, C_loc] int8
+        # (re, im) planes, channel-sharded — ready for SPEAD egress.
+        return ar, ai
     # [A_loc, P, S_full, C_loc] -> [P, C_loc, S_full, A_loc] per plane
     xr = jnp.transpose(ar, (1, 3, 2, 0))
     xi = jnp.transpose(ai, (1, 3, 2, 0))

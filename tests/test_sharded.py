@@ -48,7 +48,38 @@ def test_sharded_matches_single_device(shape):
     want = np.asarray(
         fb(adc_ext, np.zeros(cfg.n_ants, np.int32), fd, ph, dv)
     )
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8)])
+def test_sharded_fplanes_within_one_code_of_single_chip(shape):
+    """Distributed F planes ≡ single-chip F planes to ±1 int8 code.
+
+    The elementwise bound on the *quantised planes* (the discipline of
+    tests/test_fengine_fused.py): any sharding-induced float difference
+    may flip a round-half-even tie by at most one code, and must do so
+    rarely.
+    """
+    n_dev = shape[0] * shape[1]
+    mesh = make_mesh(n_dev, shape=shape)
+    cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
+    n_spectra = 4 * shape[1]
+    eng = ShardedFBEngine(cfg, mesh, n_spectra=n_spectra, emit_planes=True)
+    adc, fd, ph, _ = eng.example_inputs()
+    qr, qi = eng(adc, fd, ph, np.zeros((4, 8, 4), np.float32))
+    got = np.stack([np.asarray(qr), np.asarray(qi)], axis=-1).astype(np.int32)
+
+    from dpdk_dc_sand_tpu.models import FEngine
+
+    halo = (cfg.n_taps - 1) * cfg.fft_size
+    adc_ext = np.concatenate([adc[..., -halo:], adc], axis=-1)
+    fe = FEngine(cfg, n_spectra=n_spectra, use_pallas=False)
+    want = np.asarray(
+        fe(adc_ext, np.zeros(cfg.n_ants, np.int32), fd, ph)
+    ).astype(np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() <= 1e-3
 
 
 def test_sharded_rejects_bad_factorisation():
@@ -142,9 +173,12 @@ def test_sharded_visibilities_match_golden():
     )  # [A, P, S, C, 2]
     # engine x-layout: [C, S, A·P, 2] with (ant-major, pol-minor) inputs
     x = quant.transpose(3, 2, 0, 1, 4).reshape(128, 16, 16, 2)
+    # Visibilities are sums of int8-code products (exact in f32 at these
+    # shapes), so planes matching ⇒ near-exact agreement; the small atol
+    # covers f32 summation-order differences only.
     want_re, want_im = golden.correlate_planar(x[..., 0], x[..., 1])
-    np.testing.assert_allclose(np.asarray(vre), want_re, rtol=1e-4, atol=2e-2)
-    np.testing.assert_allclose(np.asarray(vim), want_im, rtol=1e-4, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(vre), want_re, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vim), want_im, rtol=1e-4, atol=1e-3)
     # channel-sharded over the time axis
     assert {s.data.shape for s in vre.addressable_shards} == {(32, 16, 16)}
 
@@ -201,7 +235,7 @@ def test_sharded_fused_fengine_matches_single_chip_fused():
     want = np.asarray(
         fb(adc_ext, np.zeros(cfg.n_ants, np.int32), fd, ph, dv)
     )
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
 def test_sharded_turned_bstage_matches_planar():

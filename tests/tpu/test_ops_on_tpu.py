@@ -108,6 +108,121 @@ def test_fused_pipeline_runs_on_tpu():
     assert out.shape == (2, 256, 16, 4, 2)
 
 
+def test_sharded_fused_body_mosaic_compiles_on_chip():
+    """Fused+turned sharded body compiled through Mosaic inside shard_map.
+
+    The CPU-mesh suite runs this body interpret-mode only; here a 1×1
+    mesh on the real chip proves the Pallas kernels lower through Mosaic
+    *inside* shard_map (collectives degenerate but are still staged).
+    """
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.parallel import ShardedFBEngine, make_mesh
+
+    mesh = make_mesh(1, shape=(1, 1))
+    cfg = ArrayConfig(n_ants=4, n_channels=1024, n_beams=4, n_taps=4)
+    eng = ShardedFBEngine(cfg, mesh, n_spectra=16)
+    # auto resolution picks the production fast path on the chip
+    assert (eng.fengine, eng.bstage) == ("fused", "turned")
+    adc, fd, ph, dv = eng.example_inputs()
+    out = eng(adc, fd, ph, dv)
+    assert bool(jnp.isfinite(jnp.asarray(out)).all())
+    assert out.shape == (2, 1024, 16, 4, 2)
+
+
+def test_flagship_shape_fused_turned_vs_golden_on_tpu():
+    """Flagship-geometry spot check of the default (fused + turned) path.
+
+    At the full 80 ant × 32k chan × 16 beam geometry (S=4 spectra):
+    (a) FBEngine's auto defaults resolve to the measured-fastest config;
+    (b) the exact-f32 fused F kernel's int8 planes match the host golden
+        chain to ±1 code elementwise (round-half-even tie flips only);
+    (c) the Pallas corner-turn + folded-dot B-stage holds the reference
+        beamform tolerance (rtol=atol=1e-4 scaled,
+        beamform_op_sequence_test.py:198-200) against the complex golden
+        beamform on identical int8 inputs.
+    All comparisons reduce on device; only scalars are pulled.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.models import FBEngine
+    from dpdk_dc_sand_tpu.ops.beamform import beamform_turned
+    from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat
+    from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
+
+    cfg = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
+    S = 4
+    fb = FBEngine(cfg, n_spectra=S)
+    assert (fb.fengine, fb.bstage, fb.ct_batch_a) == ("fused", "turned", True)
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(
+        -64, 64,
+        size=(cfg.n_ants, cfg.n_pols, S + cfg.n_taps - 1, cfg.fft_size),
+        dtype=np.int8,
+    )
+    fd = rng.uniform(-0.5, 0.5, (cfg.n_ants, cfg.n_pols)).astype(np.float32)
+    ph = rng.uniform(-1, 1, (cfg.n_ants, cfg.n_pols)).astype(np.float32)
+
+    # --- host golden F chain ---
+    window = np.asarray(golden.pfb_window(cfg.n_taps, cfg.fft_size))
+    want_planes = np.empty(
+        (cfg.n_ants, cfg.n_pols, S, cfg.n_channels, 2), np.int8
+    )
+    for a in range(cfg.n_ants):
+        spectra = golden.pfb_channelise(
+            frames[a].reshape(cfg.n_pols, -1).astype(np.float32), window
+        )  # [P, S, C]
+        for p in range(cfg.n_pols):
+            corr = golden.apply_fine_delay(
+                spectra[p], float(fd[a, p]), float(ph[a, p]), cfg.n_channels
+            )
+            want_planes[a, p] = golden.requantise(corr, 1.0 / 16.0)
+
+    # --- (b) device fused_f32 F kernel vs golden planes: ±1 code ---
+    frames_d = jax.device_put(jnp.asarray(frames))
+    qr, qi = fengine_fused(
+        frames_d, jnp.asarray(window), jnp.asarray(fd), jnp.asarray(ph),
+        n_channels=cfg.n_channels, quant_scale=1.0 / 16.0,
+        dft_dtype="float32", ct_batch_a=True,
+    )
+    got_planes = jnp.stack([qr, qi], axis=-1).astype(jnp.int32)
+    ref_planes = jnp.asarray(want_planes).astype(jnp.int32)
+    diff = jnp.abs(got_planes - ref_planes)
+    assert int(jnp.max(diff)) <= 1
+    assert float(jnp.mean((diff != 0).astype(jnp.float32))) <= 2e-3
+
+    # --- (c) turned B-stage on the SAME int8 planes vs golden beamform ---
+    dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+    dv[..., 0] = rng.uniform(0, 5e-9, dv.shape[:-1])
+    dv[..., 2] = rng.uniform(-np.pi, np.pi, dv.shape[:-1])
+    w = golden.steering_coeffs_complex(
+        np.broadcast_to(dv, (cfg.n_channels,) + dv.shape),
+        cfg.n_channels,
+        cfg.sample_period,
+    )  # [C, B, A] complex64
+    qr_d = jnp.asarray(want_planes[..., 0])  # [A, P, S, C] int8
+    qi_d = jnp.asarray(want_planes[..., 1])
+    x_t = corner_turn_planes(qr_d, qi_d)
+    blocks = steering_coeff_blockcat(
+        jnp.asarray(w.real), jnp.asarray(w.imag)
+    )
+    beam_re, beam_im = beamform_turned(
+        x_t, blocks, n_pols=cfg.n_pols, precision="f32"
+    )
+
+    x = (
+        want_planes[..., 0].astype(np.float32)
+        + 1j * want_planes[..., 1]
+    ).transpose(1, 3, 2, 0)  # [P, C, S, A]
+    want = golden.beamform_complex(x, w)  # [P, C, S, B]
+    tol = 1e-4 * max(1.0, float(np.abs(want).max()))
+    assert max_err(beam_re, want.real.astype(np.float32)) <= tol
+    assert max_err(beam_im, want.imag.astype(np.float32)) <= tol
+
+
 def test_fused_fengine_kernel_on_tpu():
     """Fused F-engine kernel vs composed ops on the chip (both modes)."""
     import jax
