@@ -30,6 +30,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import itertools  # noqa: E402
+
 import pytest  # noqa: E402
 
 
@@ -47,15 +49,30 @@ def pytest_addoption(parser) -> None:
     )
 
 
+def _coverage_rows(value_lists: list[list]) -> list[tuple]:
+    """Minimal sweep rows covering every value of every list at least once.
+
+    The lists are cycled in lockstep until the longest one is exhausted;
+    the final row instead pins every list to its last entry, so the
+    (conventionally heaviest) parameters are exercised together. The
+    *marker semantics* match the reference's pruning plugin
+    (beamformer/unit_test/conftest.py); this table construction is ours.
+    """
+    n_rows = max(len(vals) for vals in value_lists)
+    cycles = [itertools.cycle(vals) for vals in value_lists]
+    rows = [tuple(next(c) for c in cycles) for _ in range(n_rows - 1)]
+    rows.append(tuple(vals[-1] for vals in value_lists))
+    return rows
+
+
 def pytest_generate_tests(metafunc) -> None:
     full = metafunc.config.option.all_combinations
     for marker in metafunc.definition.iter_markers("combinations"):
-        raw_names = marker.args[0]
-        if isinstance(raw_names, (tuple, list)):
-            names = list(raw_names)
-        else:
+        raw_names, *value_lists = marker.args
+        if isinstance(raw_names, str):
             names = [n.strip() for n in raw_names.split(",") if n.strip()]
-        value_lists = marker.args[1:]
+        else:
+            names = list(raw_names)
         if len(names) != len(value_lists):
             pytest.fail(
                 f"{metafunc.definition.nodeid}: combinations marker got "
@@ -65,16 +82,8 @@ def pytest_generate_tests(metafunc) -> None:
         if not names:
             continue
         if full:
+            # Full Cartesian product: stacked parametrize calls multiply.
             for name, vals in zip(names, value_lists):
                 metafunc.parametrize(name, vals)
         else:
-            depth = max(len(vals) for vals in value_lists)
-            combos = []
-            for i in range(depth):
-                if i == depth - 1:
-                    combos.append(tuple(vals[-1] for vals in value_lists))
-                else:
-                    combos.append(
-                        tuple(vals[i % len(vals)] for vals in value_lists)
-                    )
-            metafunc.parametrize(names, combos)
+            metafunc.parametrize(names, _coverage_rows(value_lists))

@@ -116,6 +116,65 @@ def test_delay_model_update_changes_output():
     run(scenario())
 
 
+def test_delay_rate_rotates_beams_over_time():
+    """Nonzero phase_rate measurably rotates beams across the stream.
+
+    The hot-path time extrapolation of the native grouped-timestamps
+    kernel (BeamformerKernels.cu:121-189): steering planes are
+    regenerated from the polynomial *rates* at the coefficient-update
+    cadence, with t advancing by the chunk duration. A uniform
+    phase_rate r on every antenna of beam 1 rotates that beam's output
+    by exactly e^{i·r·Δt} per chunk (identical input data), while beam 0
+    stays fixed.
+    """
+
+    async def scenario():
+        beams_out = []
+        node = EngineNode(
+            CFG,
+            n_spectra=8,
+            on_beams=lambda b, seq: beams_out.append((seq, b)),
+            use_pallas=False,
+            coeff_update_steps=1,  # re-extrapolate every chunk
+        )
+        await node.start()
+        client = await Client("127.0.0.1", node.port).connect()
+        try:
+            chunk_dur = 8 * CFG.fft_size * CFG.sample_period
+            rate = 0.5 / chunk_dur  # 0.5 rad of rotation per chunk
+            vals = []
+            for _ in range(CFG.n_ants):
+                vals += [0.0, 0.0, 0.0, rate]
+            await client.request("beam-delays", 1, *vals)
+
+            chunk = make_chunk(11, node)
+            for seq in range(4):
+                node.submit_chunk(chunk, seq)
+            assert await wait_for(lambda: len(beams_out) == 4, timeout=60)
+
+            def beam_c(i, b):
+                arr = beams_out[i][1][..., b, :]
+                return arr[..., 0] + 1j * arr[..., 1]
+
+            # beam 0 (zero rates): identical every chunk
+            np.testing.assert_allclose(
+                beam_c(3, 0), beam_c(0, 0), rtol=1e-5, atol=1e-3
+            )
+            # beam 1: rotated by k·0.5 rad after k chunks (epoch = seq 0)
+            ref = beam_c(0, 1)
+            strong = np.abs(ref) > np.percentile(np.abs(ref), 90)
+            for k in (1, 2, 3):
+                ratio = beam_c(k, 1)[strong] / ref[strong]
+                angles = np.angle(ratio)
+                assert np.abs(np.exp(1j * angles) - np.exp(1j * 0.5 * k)).max() < 1e-2
+                np.testing.assert_allclose(np.abs(ratio), 1.0, atol=1e-2)
+        finally:
+            await client.close()
+            await node.stop()
+
+    run(scenario())
+
+
 def test_capture_stop_pauses_processing():
     async def scenario():
         beams_out = []
