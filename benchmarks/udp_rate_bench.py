@@ -1,0 +1,187 @@
+"""UDP transport rate benchmark — the ≥90 Gbps ibverbs target's analog.
+
+Drives ``BurstUdpSender`` → ``BurstUdpReceiver`` flat-out over loopback
+for each kernel engine (sendmmsg / GSO+GRO / io_uring) with full loss
+accounting, mirroring the reference's transport qualification: the
+ibverbs sample project demonstrates lossless ≥90 Gbps both directions on
+ConnectX-5 hardware (ibverbs_sample_project/README.md:13,
+ibverbs_tx.c:9-10); rates are reported per second from sequence-numbered
+payloads (ibverbs_rx.c:336-363).
+
+Kernel sockets over loopback are NOT that hardware path — the point of
+this artifact is honest, committed numbers for what the portable engines
+achieve, per mode, with drop accounting (the reference discipline:
+numbers in committed output, drop% from sequence gaps).
+
+Writes ``benchmarks/UDP_RATE.json`` and prints one JSON line per mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+from dpdk_dc_sand_tpu.stream.chunk import Chunk
+from dpdk_dc_sand_tpu.stream.ring import ChunkRing
+from dpdk_dc_sand_tpu.stream.udp_native import (
+    BurstUdpReceiver,
+    BurstUdpSender,
+    burst_available,
+)
+
+CHUNK_BYTES = 4 << 20  # 4 MiB heaps (1024 packets at 4096 B payload)
+MTU_PAYLOAD = 4096
+DURATION_S = 3.0
+TARGET_GBPS = 90.0  # the reference's ibverbs result
+
+
+def run_mode(
+    mode: str, duration_s: float = DURATION_S, pace_gbps: float | None = None
+) -> dict | None:
+    ring = ChunkRing(64, CHUNK_BYTES + 64, native=True)
+    try:
+        rx = BurstUdpReceiver(
+            ("127.0.0.1", 0), ring, mtu_payload=MTU_PAYLOAD, mode=mode
+        )
+    except OSError:
+        ring.close()
+        return None
+    try:
+        tx = BurstUdpSender(
+            ("127.0.0.1", rx.port), mtu_payload=MTU_PAYLOAD, mode=mode
+        )
+    except OSError:
+        rx.stop()
+        ring.close()
+        return None
+
+    # Consumer: drain the ring at full speed, count delivered heaps.
+    delivered = []
+    stop = threading.Event()
+
+    def consume():
+        n = 0
+        while not stop.is_set():
+            r = ring.acquire_read()
+            if r is None:
+                time.sleep(0.0005)
+                continue
+            ring.release_read()
+            n += 1
+        delivered.append(n)
+
+    t = threading.Thread(target=consume)
+    t.start()
+
+    payload = np.random.default_rng(1).integers(
+        0, 255, size=CHUNK_BYTES, dtype=np.uint8
+    )
+    chunk_s = CHUNK_BYTES * 8 / (pace_gbps * 1e9) if pace_gbps else 0.0
+    sent = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < duration_s:
+        tx.send_chunk(
+            Chunk(payload=payload, seq=sent, timestamp=sent, channel_offset=0)
+        )
+        sent += 1
+        if chunk_s:
+            lag = t0 + sent * chunk_s - time.perf_counter()
+            if lag > 0:
+                time.sleep(lag)
+    elapsed = time.perf_counter() - t0
+    time.sleep(0.3)  # let in-flight heaps drain
+    stop.set()
+    t.join()
+
+    pkts, tx_bytes = tx.stats()
+    st = rx.stats()
+    rx.stop()
+    tx.close()
+    ring.close()
+
+    tx_gbps = tx_bytes * 8 / elapsed / 1e9
+    rx_gbps = st["bytes"] * 8 / elapsed / 1e9
+    heaps_lost = sent - st["heaps"]
+    return {
+        "mode": mode,
+        "pace_gbps": pace_gbps,
+        "duration_s": round(elapsed, 3),
+        "chunk_bytes": CHUNK_BYTES,
+        "mtu_payload": MTU_PAYLOAD,
+        "chunks_sent": sent,
+        "packets_sent": pkts,
+        "tx_gbps": round(tx_gbps, 2),
+        "rx_gbps": round(rx_gbps, 2),
+        "heaps_delivered": st["heaps"],
+        "heaps_lost": heaps_lost,
+        "loss_pct": round(100.0 * heaps_lost / max(sent, 1), 3),
+        "ring_drops": st["ring_drops"],
+        "evicted": st["evicted"],
+    }
+
+
+def max_lossless(mode: str, start_gbps: float) -> dict | None:
+    """Highest paced rate sustained with ZERO heap loss (the reference's
+    'lossless' framing, ibverbs README.md:13) — coarse bisection."""
+    best = None
+    rate = max(start_gbps, 1.0)
+    lo, hi = 0.0, None
+    for _ in range(5):
+        r = run_mode(mode, duration_s=2.0, pace_gbps=rate)
+        if r is None:
+            return None
+        if r["heaps_lost"] == 0 and r["ring_drops"] == 0:
+            best, lo = r, rate
+            rate = rate * 1.5 if hi is None else (rate + hi) / 2
+        else:
+            hi = rate
+            rate = (lo + rate) / 2
+        if hi is not None and hi - lo < 0.5:
+            break
+    return best
+
+
+def main() -> None:
+    if not burst_available():
+        raise SystemExit("native toolchain unavailable")
+    results = []
+    lossless = {}
+    for mode in ("burst", "gso", "uring"):
+        r = run_mode(mode)
+        if r is None:
+            print(json.dumps({"mode": mode, "skipped": "unsupported"}))
+            continue
+        print(json.dumps(r), flush=True)
+        results.append(r)
+        ll = max_lossless(mode, start_gbps=r["rx_gbps"] * 0.8)
+        if ll is not None:
+            print(json.dumps(ll), flush=True)
+            lossless[mode] = ll
+    best = max(results, key=lambda r: r["tx_gbps"])
+    best_ll = max(
+        lossless.values(), key=lambda r: r["rx_gbps"], default=None
+    )
+    artifact = {
+        "transport": "kernel UDP loopback (no NIC hardware in this env)",
+        "reference_target_gbps": TARGET_GBPS,
+        "reference_source": "ibverbs_sample_project/README.md:13 "
+        "(lossless >=90 Gbps, ConnectX-5)",
+        "best_mode": best["mode"],
+        "best_tx_gbps": best["tx_gbps"],
+        "best_lossless": best_ll,
+        "blast": results,
+        "lossless": lossless,
+    }
+    out = os.path.join(os.path.dirname(__file__), "UDP_RATE.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=2)
+        f.write("\n")
+    print(f"# wrote {out}: best {best['mode']} {best['tx_gbps']} Gbps TX")
+
+
+if __name__ == "__main__":
+    main()

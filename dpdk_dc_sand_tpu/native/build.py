@@ -124,6 +124,14 @@ def _declare(lib: ctypes.CDLL) -> None:
     cs = ctypes.c_char_p
     lib.ub_sender_create.restype = vp
     lib.ub_sender_create.argtypes = [cs, u16, u64]
+    lib.ub_sender_create_mode.restype = vp
+    lib.ub_sender_create_mode.argtypes = [cs, u16, u64, ctypes.c_int]
+    lib.ub_sender_mode.restype = ctypes.c_int
+    lib.ub_sender_mode.argtypes = [vp]
+    lib.ub_receiver_create_mode.restype = vp
+    lib.ub_receiver_create_mode.argtypes = [cs, u16, cs, u64, vp, ctypes.c_int]
+    lib.ub_receiver_mode.restype = ctypes.c_int
+    lib.ub_receiver_mode.argtypes = [vp]
     lib.ub_send_chunk.restype = ctypes.c_longlong
     lib.ub_send_chunk.argtypes = [vp, p8, u64, u64, u64, u32]
     lib.ub_sender_stats.argtypes = [vp, ctypes.POINTER(u64), ctypes.POINTER(u64)]

@@ -1,13 +1,17 @@
-"""Native burst UDP transport (sendmmsg/recvmmsg fast path).
+"""Native burst UDP transport (sendmmsg / GSO / io_uring fast paths).
 
 Python's per-datagram ``sendto`` loop tops out well under a Gbps; the
 reference's data plane bursts 32 packets per call into the NIC
 (dpdk_send.cpp:273-315, ``rte_eth_tx_burst``). This wraps the native
-burst engine (:mod:`dpdk_dc_sand_tpu.native` ``udp_burst.cpp``): one
-syscall per 32-packet burst, header build + heap reassembly in C++, and
-completed chunks delivered straight into the native SPSC ring — Python
-touches data only at chunk granularity, exactly like the reference's
-chunked zero-copy pipeline.
+engines (:mod:`dpdk_dc_sand_tpu.native` ``udp_burst.cpp``): sendmmsg
+bursts, UDP_SEGMENT/UDP_GRO segmentation offload (~15 wire packets per
+kernel stack traversal, ~480 per syscall), or an io_uring
+submission-queue ring (the descriptor-ring model of ibverbs_tx.c:255-262)
+— header build + heap reassembly in C++, completed chunks delivered
+straight into the native SPSC ring. Python touches data only at chunk
+granularity, exactly like the reference's chunked zero-copy pipeline.
+Measured rates: see benchmarks/udp_rate_bench.py (committed artifact
+benchmarks/UDP_RATE.json).
 
 API mirrors :mod:`dpdk_dc_sand_tpu.stream.udp`; ring slot layout is
 identical (16-byte timestamp/channel_offset prefix + payload), so
@@ -31,21 +35,52 @@ def burst_available() -> bool:
     return load_native() is not None
 
 
-class BurstUdpSender:
-    """Chunk transmitter over the native sendmmsg path."""
+#: Engine selection: mode name -> native mode id.
+_MODES = {"burst": 0, "gso": 1, "uring": 2}
 
-    def __init__(self, dest: Tuple[str, int], mtu_payload: int = 4096) -> None:
+
+def _resolve_mode(mode: str) -> list[int]:
+    """Candidate native mode ids, best first (``auto`` tries gso→burst)."""
+    if mode == "auto":
+        return [_MODES["gso"], _MODES["burst"]]
+    if mode not in _MODES:
+        raise ValueError(f"unknown transport mode {mode!r}")
+    return [_MODES[mode]]
+
+
+class BurstUdpSender:
+    """Chunk transmitter over the native kernel fast paths.
+
+    ``mode``: ``"auto"`` (GSO segmentation offload when the kernel
+    supports it, else sendmmsg), ``"burst"`` (sendmmsg), ``"gso"``
+    (UDP_SEGMENT super-datagrams), or ``"uring"`` (io_uring submission
+    ring).
+    """
+
+    def __init__(
+        self,
+        dest: Tuple[str, int],
+        mtu_payload: int = 4096,
+        mode: str = "auto",
+    ) -> None:
         lib = load_native()
         if lib is None:
             raise RuntimeError("native toolchain unavailable; use stream.udp")
         self._lib = lib
         self.dest = dest
         self.mtu_payload = mtu_payload
-        self._h = ctypes.c_void_p(
-            lib.ub_sender_create(dest[0].encode(), dest[1], mtu_payload)
-        )
+        self._h = ctypes.c_void_p()
+        for m in _resolve_mode(mode):
+            self._h = ctypes.c_void_p(
+                lib.ub_sender_create_mode(dest[0].encode(), dest[1], mtu_payload, m)
+            )
+            if self._h:
+                break
         if not self._h:
-            raise OSError(f"cannot open UDP sender to {dest}")
+            raise OSError(f"cannot open UDP sender to {dest} (mode={mode})")
+        self.mode = {v: k for k, v in _MODES.items()}[
+            lib.ub_sender_mode(self._h)
+        ]
 
     def send_chunk(self, chunk: Chunk) -> int:
         payload = np.ascontiguousarray(chunk.payload).view(np.uint8).ravel()
@@ -89,6 +124,7 @@ class BurstUdpReceiver:
         ring: ChunkRing,
         mtu_payload: int = 4096,
         group: Optional[str] = None,
+        mode: str = "auto",
     ) -> None:
         lib = load_native()
         if lib is None:
@@ -97,17 +133,25 @@ class BurstUdpReceiver:
             raise ValueError("BurstUdpReceiver needs a native ChunkRing")
         self._lib = lib
         self.ring = ring
-        self._h = ctypes.c_void_p(
-            lib.ub_receiver_create(
-                bind[0].encode(),
-                bind[1],
-                group.encode() if group else None,
-                mtu_payload,
-                ring._ring,
+        self._h = ctypes.c_void_p()
+        for m in _resolve_mode(mode):
+            self._h = ctypes.c_void_p(
+                lib.ub_receiver_create_mode(
+                    bind[0].encode(),
+                    bind[1],
+                    group.encode() if group else None,
+                    mtu_payload,
+                    ring._ring,
+                    m,
+                )
             )
-        )
+            if self._h:
+                break
         if not self._h:
-            raise OSError(f"cannot bind UDP receiver on {bind}")
+            raise OSError(f"cannot bind UDP receiver on {bind} (mode={mode})")
+        self.mode = {v: k for k, v in _MODES.items()}[
+            lib.ub_receiver_mode(self._h)
+        ]
 
     @property
     def port(self) -> int:

@@ -91,6 +91,48 @@ def test_burst_pattern_payload_verifies():
         ring.close()
 
 
+@pytest.mark.parametrize("mode", ["burst", "gso", "uring"])
+def test_roundtrip_all_engine_modes(mode):
+    """Every kernel fast path (sendmmsg / GSO+GRO / io_uring) round-trips
+    multi-packet heaps with intact payloads and metadata."""
+    ring = ChunkRing(64, 1 << 20, native=True)
+    try:
+        rx = udp_native.BurstUdpReceiver(
+            ("127.0.0.1", 0), ring, mtu_payload=4096, mode=mode
+        )
+    except OSError:
+        pytest.skip(f"{mode} receiver unsupported on this kernel")
+    try:
+        tx = udp_native.BurstUdpSender(
+            ("127.0.0.1", rx.port), mtu_payload=4096, mode=mode
+        )
+    except OSError:
+        rx.stop()
+        ring.close()
+        pytest.skip(f"{mode} sender unsupported on this kernel")
+    try:
+        assert tx.mode == mode and rx.mode == mode
+        rng = np.random.default_rng(7)
+        chunks = [
+            rng.integers(0, 255, size=200_000, dtype=np.uint8)
+            for _ in range(4)
+        ]
+        for i, c in enumerate(chunks):
+            tx.send_chunk(
+                Chunk(payload=c, seq=i, timestamp=100 + i, channel_offset=i)
+            )
+            time.sleep(0.01)
+        got = _drain(ring, len(chunks))
+        assert len(got) == len(chunks), (mode, rx.stats())
+        for i, (seq, ts, co, payload) in enumerate(got):
+            assert (seq, ts, co) == (i, 100 + i, i)
+            np.testing.assert_array_equal(payload, chunks[i])
+    finally:
+        rx.stop()
+        tx.close()
+        ring.close()
+
+
 def test_burst_receiver_requires_native_ring():
     ring = ChunkRing(4, 1024, native=None)
     if ring._lib is not None:
