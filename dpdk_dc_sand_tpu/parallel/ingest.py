@@ -80,6 +80,13 @@ def initialize_multihost() -> bool:
     coord = os.environ.get("JAX_COORDINATOR")
     if not coord:
         return False
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # CPU pods (the test/dev configuration) need an explicit
+        # cross-process collectives backend; TPU pods use ICI natively.
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # older jaxlib without gloo: let init decide
+            pass
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
