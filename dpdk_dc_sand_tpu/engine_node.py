@@ -63,6 +63,11 @@ class EngineNode(DeviceServer):
         bstage: str = "auto",
         auth_secret: str | None = None,
         coeff_update_steps: int = 256,
+        emit_visibilities: bool = False,
+        vis_accum_steps: int = 16,
+        on_visibilities: Optional[
+            Callable[[np.ndarray, np.ndarray, int], None]
+        ] = None,
     ) -> None:
         super().__init__(host, port, auth_secret=auth_secret)
         self.cfg = cfg
@@ -73,14 +78,31 @@ class EngineNode(DeviceServer):
         #: test_parameters.py:22-25) — 4x less egress bandwidth and no
         #: host-side requantise pass.
         self.beam_quant_scale = beam_quant_scale
-        self.fb = FBEngine(
-            cfg,
-            n_spectra=n_spectra,
-            use_pallas=use_pallas,
-            fengine=fengine,
-            beam_quant_scale=beam_quant_scale,
-            bstage=bstage,
-        )
+        self.emit_visibilities = emit_visibilities
+        self.on_visibilities = on_visibilities or (lambda vr, vi, seq: None)
+        if emit_visibilities:
+            # Full instrument: the F stage fans out to B and X inside
+            # one jit; per-step visibilities integrate on-device over
+            # vis_accum_steps windows (the accumulation cadence).
+            from dpdk_dc_sand_tpu.models import FXBEngine, VisibilityAccumulator
+
+            if fengine not in ("auto", "xla") or beam_quant_scale is not None:
+                raise ValueError(
+                    "emit_visibilities uses the FXB engine (XLA F stage, "
+                    "f32 beams)"
+                )
+            self.fb = FXBEngine(cfg, n_spectra=n_spectra, use_pallas=use_pallas)
+            self._vis_accum = VisibilityAccumulator(vis_accum_steps)
+        else:
+            self.fb = FBEngine(
+                cfg,
+                n_spectra=n_spectra,
+                use_pallas=use_pallas,
+                fengine=fengine,
+                beam_quant_scale=beam_quant_scale,
+                bstage=bstage,
+            )
+            self._vis_accum = None
         self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
         chunk_bytes = int(np.prod(self.chunk_shape))
         # +16 headroom for the UDP receiver's timestamp/channel metadata
@@ -149,6 +171,8 @@ class EngineNode(DeviceServer):
             self._udp_rx.stop()
         if getattr(self, "_udp_tx", None) is not None:
             self._udp_tx.close()
+        if getattr(self, "_udp_vis_tx", None) is not None:
+            self._udp_vis_tx.close()
         self.feed.stop()
         self.ring.close()
         await super().stop()
@@ -209,6 +233,22 @@ class EngineNode(DeviceServer):
         self.on_beams = UdpBeamEgress(self._udp_tx, samples_per_chunk, scale)
         return self._udp_tx
 
+    def attach_udp_vis_egress(self, dest):
+        """Transmit integrated visibility dumps as SPEAD-lite UDP heaps.
+
+        Requires ``emit_visibilities=True``; replaces
+        ``on_visibilities``. Returns the sender.
+        """
+        from dpdk_dc_sand_tpu.stream.feed import UdpVisEgress
+        from dpdk_dc_sand_tpu.stream.udp import UdpSender
+
+        if self._vis_accum is None:
+            raise RuntimeError("node was built without emit_visibilities")
+        self._udp_vis_tx = UdpSender(dest)
+        samples_per_chunk = self.fb.n_spectra * self.cfg.fft_size
+        self.on_visibilities = UdpVisEgress(self._udp_vis_tx, samples_per_chunk)
+        return self._udp_vis_tx
+
     def submit_chunk(self, adc: np.ndarray, seq: int) -> bool:
         """Producer entry: enqueue one ADC chunk (drop-counted when full)."""
         return self.ring.put(adc, seq)
@@ -252,9 +292,19 @@ class EngineNode(DeviceServer):
                     self.fb.set_beam_delays(dv, ant_weights=weights, t_s=t_s)
                     self._applied_version = version
                     self._coeff_seq = seq
-                beams = self.fb.step(
+                out = self.fb.step(
                     arr, jnp.asarray(cd), jnp.asarray(fd), jnp.asarray(ph)
                 )
+                if self._vis_accum is not None:
+                    beams, vre, vim = out
+                    dump = self._vis_accum.add(vre, vim, seq)
+                    if dump is not None:
+                        dre, dim, first_seq = dump
+                        self.on_visibilities(
+                            np.asarray(dre), np.asarray(dim), first_seq
+                        )
+                else:
+                    beams = out
                 self.on_beams(np.asarray(beams), seq)
             except Exception as e:  # noqa: BLE001 - node must stay up
                 self._set_sensor(self.s_status, "degraded", Status.ERROR)

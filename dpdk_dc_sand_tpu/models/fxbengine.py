@@ -69,16 +69,26 @@ class FXBEngine:
     def samples_in(self) -> int:
         return (self.n_spectra + self.cfg.n_taps - 1) * self.cfg.fft_size
 
-    def set_beam_delays(self, delay_vals, ant_weights=None) -> None:
-        key = (id(delay_vals), id(ant_weights))
+    def set_beam_delays(self, delay_vals, ant_weights=None, t_s: float = 0.0) -> None:
+        """Same contract as :meth:`FBEngine.set_beam_delays` (t_s
+        extrapolates via the delay/phase rates, traced, no recompile)."""
+        key = (id(delay_vals), id(ant_weights), float(t_s))
         if self._coeffs is None or key != self._coeff_key:
             w = (
                 jnp.ones(self.cfg.n_ants, jnp.float32)
                 if ant_weights is None
                 else jnp.asarray(ant_weights, jnp.float32)
             )
-            self._coeffs = self._coeff_fn(jnp.asarray(delay_vals), w)
+            self._coeffs = self._coeff_fn(
+                jnp.asarray(delay_vals), w, jnp.float32(t_s)
+            )
             self._coeff_key = key
+
+    def step(self, adc, coarse_delays, frac_delays, phases):
+        """Hot-loop step using the cached steering planes."""
+        if self._coeffs is None:
+            raise RuntimeError("call set_beam_delays() first")
+        return self._step(adc, coarse_delays, frac_delays, phases, self._coeffs)
 
     def __call__(self, adc, coarse_delays, frac_delays, phases, delay_vals):
         self.set_beam_delays(delay_vals)

@@ -52,13 +52,20 @@ _VMEM_CAP = 14 * 1024 * 1024
 def corner_turn_supported(n_ants: int, n_pols: int, n_spectra: int, n_channels: int) -> bool:
     """Whether the Pallas kernel handles this geometry (else XLA turn).
 
-    Requires the channel axis to tile by 128 (or be a single block) and
-    the spectra axis to either tile by 128 per pol or fit in VMEM whole.
+    Requires the channel axis to tile by 128 (or be a single block), and
+    the output's lane axis to be 128-aligned: either the spectra axis
+    tiles by 128 per pol (split path) or ``n_pols·n_spectra`` is a
+    multiple of 128 AND the whole block fits in VMEM (full path) —
+    Mosaic's minor-dim split reshape needs a 128-multiple minor dim
+    (``[c_blk, A·P·S] → [c_blk, A, P·S]`` fails to lower otherwise;
+    found by tests/tpu on-chip, 2026-08-20).
     """
     if n_channels % _C_BLK and n_channels >= _C_BLK:
         return False
     if n_spectra % _S_CHUNK == 0:
         return True
+    if (n_pols * n_spectra) % 128:
+        return False
     c_blk = min(_C_BLK, n_channels)
     per_step = (
         2 * 2 * n_ants * n_pols * n_spectra * c_blk  # two in planes, dbuf

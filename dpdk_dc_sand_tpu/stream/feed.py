@@ -167,3 +167,35 @@ class UdpBeamEgress:
                 timestamp=seq * self.samples_per_chunk,
             )
         )
+
+
+class UdpVisEgress:
+    """Visibility-dump egress: integrated f32 visibilities onto UDP.
+
+    The X-engine transmit side: plug into
+    :class:`~dpdk_dc_sand_tpu.engine_node.EngineNode` as
+    ``on_visibilities``. Each integrated window ships as one SPEAD-lite
+    heap — payload ``[C, I, I, 2]`` float32 (re, im stacked trailing),
+    heap id = the window's first chunk sequence number, timestamp = that
+    chunk's first ADC sample (the SPEAD 0x1600 convention).
+    """
+
+    def __init__(self, sender, samples_per_chunk: int):
+        self.sender = sender
+        self.samples_per_chunk = samples_per_chunk
+
+    def __call__(
+        self, vis_re: np.ndarray, vis_im: np.ndarray, first_seq: int
+    ) -> None:
+        from dpdk_dc_sand_tpu.stream.chunk import Chunk
+
+        payload = np.ascontiguousarray(
+            np.stack([vis_re, vis_im], axis=-1), dtype="<f4"
+        ).ravel()
+        self.sender.send_chunk(
+            Chunk(
+                payload.view(np.uint8),
+                seq=first_seq,
+                timestamp=first_seq * self.samples_per_chunk,
+            )
+        )

@@ -293,6 +293,87 @@ def test_device_quantised_beam_output():
         egress(beams.astype(np.float32), seq=4)
 
 
+def test_visibility_egress_end_to_end():
+    """ADC heaps in over UDP -> FXB node -> integrated visibility dumps
+    out over UDP, matching golden correlation of the F-stage output.
+
+    Completes the egress story: beams (int8 SPEAD heaps) and X-engine
+    visibility dumps both reach the wire from one node.
+    """
+    from dpdk_dc_sand_tpu import golden
+    from dpdk_dc_sand_tpu.models import FEngine
+    from dpdk_dc_sand_tpu.stream import Chunk, ChunkRing, UdpReceiver, UdpSender
+
+    n_in = CFG.n_ants * CFG.n_pols
+    vis_bytes = CFG.n_channels * n_in * n_in * 2 * 4
+
+    async def scenario():
+        beams_out = []
+        node = EngineNode(
+            CFG,
+            n_spectra=8,
+            use_pallas=False,
+            emit_visibilities=True,
+            vis_accum_steps=2,
+            on_beams=lambda b, s: beams_out.append(s),
+        )
+        rx = node.attach_udp_ingest()
+        vis_ring = ChunkRing(8, vis_bytes + 64)
+        vis_rx = UdpReceiver(("127.0.0.1", 0), vis_ring).start()
+        node.attach_udp_vis_egress(("127.0.0.1", vis_rx.port))
+        await node.start()
+        tx = UdpSender(("127.0.0.1", rx.port))
+        try:
+            chunks = [make_chunk(seq, node) for seq in range(4)]
+            for seq, adc in enumerate(chunks):
+                tx.send_chunk(Chunk(adc.reshape(-1).view(np.uint8), seq=seq))
+            dumps = []
+            deadline = time.monotonic() + 60
+            while len(dumps) < 2 and time.monotonic() < deadline:
+                item = vis_ring.acquire_read()
+                if item is None:
+                    await asyncio.sleep(0.05)
+                    continue
+                view, seq = item
+                payload = UdpReceiver.unpack(view).payload
+                vis = np.ascontiguousarray(payload).view("<f4").reshape(
+                    CFG.n_channels, n_in, n_in, 2
+                )
+                dumps.append((seq, vis.copy()))
+                vis_ring.release_read()
+            assert [s for s, _ in dumps] == [0, 2]  # window first-seqs
+            assert len(beams_out) == 4  # beams emitted every chunk too
+
+            # golden: correlate the F-stage output of each window's chunks
+            fe = FEngine(CFG, n_spectra=8, use_pallas=False)
+            zi = np.zeros(CFG.n_ants, np.int32)
+            zf = np.zeros(CFG.n_ants, np.float32)
+            for w, (first_seq, vis) in enumerate(dumps):
+                want_re = np.zeros((CFG.n_channels, n_in, n_in), np.float64)
+                want_im = np.zeros_like(want_re)
+                for adc in chunks[2 * w : 2 * w + 2]:
+                    quant = np.asarray(fe(adc, zi, zf, zf))  # [A,P,S,C,2]
+                    x = quant.transpose(3, 2, 0, 1, 4).reshape(
+                        CFG.n_channels, 8, n_in, 2
+                    )
+                    r, i = golden.correlate_planar(x[..., 0], x[..., 1])
+                    want_re += r
+                    want_im += i
+                np.testing.assert_allclose(
+                    vis[..., 0], want_re, rtol=1e-4, atol=1e-3
+                )
+                np.testing.assert_allclose(
+                    vis[..., 1], want_im, rtol=1e-4, atol=1e-3
+                )
+        finally:
+            tx.close()
+            vis_rx.stop()
+            vis_ring.close()
+            await node.stop()
+
+    run(scenario())
+
+
 def test_udp_ingest_to_udp_egress_end_to_end():
     """ADC heaps in over UDP -> pipeline -> beam heaps out over UDP."""
     from dpdk_dc_sand_tpu.stream import Chunk, ChunkRing, UdpReceiver, UdpSender

@@ -121,13 +121,14 @@ def test_sharded_fused_body_mosaic_compiles_on_chip():
 
     mesh = make_mesh(1, shape=(1, 1))
     cfg = ArrayConfig(n_ants=4, n_channels=1024, n_beams=4, n_taps=4)
-    eng = ShardedFBEngine(cfg, mesh, n_spectra=16)
+    # n_spectra=64 so the corner-turn's P·S lane axis is 128-aligned.
+    eng = ShardedFBEngine(cfg, mesh, n_spectra=64)
     # auto resolution picks the production fast path on the chip
     assert (eng.fengine, eng.bstage) == ("fused", "turned")
     adc, fd, ph, dv = eng.example_inputs()
     out = eng(adc, fd, ph, dv)
     assert bool(jnp.isfinite(jnp.asarray(out)).all())
-    assert out.shape == (2, 1024, 16, 4, 2)
+    assert out.shape == (2, 1024, 64, 4, 2)
 
 
 def test_flagship_shape_fused_turned_vs_golden_on_tpu():
@@ -153,9 +154,12 @@ def test_flagship_shape_fused_turned_vs_golden_on_tpu():
     from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
 
     cfg = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
-    S = 4
-    fb = FBEngine(cfg, n_spectra=S)
+    # At the production spectra count the auto defaults resolve to the
+    # measured-fastest config (construction only; the step below runs
+    # the stages piecewise so the host golden stays tractable).
+    fb = FBEngine(cfg, n_spectra=128)
     assert (fb.fengine, fb.bstage, fb.ct_batch_a) == ("fused", "turned", True)
+    S = 4  # spectra for the golden F comparison
 
     rng = np.random.default_rng(7)
     frames = rng.integers(
@@ -194,7 +198,16 @@ def test_flagship_shape_fused_turned_vs_golden_on_tpu():
     assert int(jnp.max(diff)) <= 1
     assert float(jnp.mean((diff != 0).astype(jnp.float32))) <= 2e-3
 
-    # --- (c) turned B-stage on the SAME int8 planes vs golden beamform ---
+    # --- (c) turned B-stage vs golden beamform on identical int8 input.
+    # The corner-turn kernel needs a 128-aligned P·S lane axis, so this
+    # part runs at the production S=128 on random planes; the golden
+    # beamform checks the first 4 spectra of each pol (same math every
+    # spectrum — the dot is batched over channels, not spectra).
+    SB = 128
+    planes = rng.integers(
+        -100, 100, size=(cfg.n_ants, cfg.n_pols, SB, cfg.n_channels, 2),
+        dtype=np.int8,
+    )
     dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
     dv[..., 0] = rng.uniform(0, 5e-9, dv.shape[:-1])
     dv[..., 2] = rng.uniform(-np.pi, np.pi, dv.shape[:-1])
@@ -203,24 +216,24 @@ def test_flagship_shape_fused_turned_vs_golden_on_tpu():
         cfg.n_channels,
         cfg.sample_period,
     )  # [C, B, A] complex64
-    qr_d = jnp.asarray(want_planes[..., 0])  # [A, P, S, C] int8
-    qi_d = jnp.asarray(want_planes[..., 1])
+    qr_d = jnp.asarray(planes[..., 0])  # [A, P, SB, C] int8
+    qi_d = jnp.asarray(planes[..., 1])
     x_t = corner_turn_planes(qr_d, qi_d)
     blocks = steering_coeff_blockcat(
         jnp.asarray(w.real), jnp.asarray(w.imag)
     )
     beam_re, beam_im = beamform_turned(
         x_t, blocks, n_pols=cfg.n_pols, precision="f32"
-    )
+    )  # [P, C, SB, B]
 
     x = (
-        want_planes[..., 0].astype(np.float32)
-        + 1j * want_planes[..., 1]
+        planes[:, :, :S, :, 0].astype(np.float32)
+        + 1j * planes[:, :, :S, :, 1]
     ).transpose(1, 3, 2, 0)  # [P, C, S, A]
     want = golden.beamform_complex(x, w)  # [P, C, S, B]
     tol = 1e-4 * max(1.0, float(np.abs(want).max()))
-    assert max_err(beam_re, want.real.astype(np.float32)) <= tol
-    assert max_err(beam_im, want.imag.astype(np.float32)) <= tol
+    assert max_err(beam_re[:, :, :S], want.real.astype(np.float32)) <= tol
+    assert max_err(beam_im[:, :, :S], want.imag.astype(np.float32)) <= tol
 
 
 def test_fused_fengine_kernel_on_tpu():
