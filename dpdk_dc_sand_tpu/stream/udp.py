@@ -108,7 +108,7 @@ class UdpReceiver:
                 "4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0")
             )
             self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
-        self.sock.settimeout(0.05)
+        self.sock.setblocking(False)
         self.assembler = HeapAssembler(
             mtu_payload=mtu_payload, on_chunk=self._deliver
         )
@@ -146,14 +146,29 @@ class UdpReceiver:
         return self
 
     def _run(self) -> None:
-        while not self._stop.is_set():
-            try:
-                pkt = self.sock.recv(65536)
-            except socket.timeout:
-                continue
-            except OSError:
-                break
-            self.assembler.feed(pkt)
+        # Burst-drain + interrupt-driven idle wait, the dpdk_recv pattern
+        # (dpdk_recv.cpp:190-244): spin through whatever is queued
+        # (non-blocking recv = the rx_burst loop), and when a "burst"
+        # comes back empty, sleep in epoll until the NIC interrupt—here
+        # the socket readable event—fires (2 ms there, 50 ms here only
+        # to bound the stop-flag latency; the wakeup itself is
+        # event-driven, not a poll).
+        import selectors
+
+        sel = selectors.DefaultSelector()
+        sel.register(self.sock, selectors.EVENT_READ)
+        try:
+            while not self._stop.is_set():
+                try:
+                    pkt = self.sock.recv(65536)
+                except BlockingIOError:
+                    sel.select(timeout=0.05)  # idle: epoll_wait analog
+                    continue
+                except OSError:
+                    break
+                self.assembler.feed(pkt)
+        finally:
+            sel.close()
 
     def stop(self) -> None:
         self._stop.set()
