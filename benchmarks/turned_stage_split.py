@@ -10,6 +10,8 @@ of that output — comparable across stages, so differences are meaningful).
 - ``b``    : + folded dot (bf16 weights)  -> [C, PS, 2B] f32
 - ``b8``   : + folded dot (int8 weights, int8 MXU passes) -> int32
 - ``full`` : + output split/transpose/stack to [P, C, S, B, 2]
+- ``bf``   : fused turn+dot kernel (ops/bstage_pallas.py) -> beam planes
+- ``bffull``: fused turn+dot + stack to [P, C, S, B, 2]
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo \
      python benchmarks/turned_stage_split.py [S [stage ...]]
@@ -64,6 +66,13 @@ def run_stage(stage, S):
         )
         if stage == "f":
             return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()
+        if stage in ("bf", "bffull"):
+            from dpdk_dc_sand_tpu.ops.bstage_pallas import beamform_turned_fused
+
+            br, bi = beamform_turned_fused(qr, qi, wfb, n_pols=P)
+            if stage == "bf":
+                return br.sum() + bi.sum()
+            return jnp.stack([br, bi], axis=-1).sum()
         x_t = corner_turn_planes(qr, qi)
         if stage == "t":
             return x_t.astype(jnp.float32).sum()

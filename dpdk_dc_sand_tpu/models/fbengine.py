@@ -47,6 +47,7 @@ def resolve_backends(
     otherwise the portable XLA-composed path. Explicit selections pass
     through unchanged, so tests can pin any backend.
     """
+    from dpdk_dc_sand_tpu.ops.bstage_pallas import bstage_fused_supported
     from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_supported
     from dpdk_dc_sand_tpu.ops.fengine_pallas import fused_supported
 
@@ -65,14 +66,20 @@ def resolve_backends(
             else "xla"
         )
     if bstage == "auto":
-        bstage = (
-            "turned"
-            if pallas_ok
-            and corner_turn_supported(
-                cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_channels
-            )
-            else "planar"
-        )
+        # "turned" measured faster than the one-kernel "fused" B at the
+        # flagship config (82.7 vs 84.6 ms full step — the block-diagonal
+        # VMEM build outweighs the saved HBM round-trip;
+        # benchmarks/turned_stage_split.py bf stage, 2026-08-20).
+        if pallas_ok and corner_turn_supported(
+            cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_channels
+        ):
+            bstage = "turned"
+        elif pallas_ok and bstage_fused_supported(
+            cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_beams, cfg.n_channels
+        ):
+            bstage = "fused"
+        else:
+            bstage = "planar"
     if ct_batch_a == "auto":
         # +7% F-only over the per-si schedule, bit-identical output
         # (ROADMAP 2026-08-19); only meaningful for the fused kernel.
@@ -124,7 +131,7 @@ class FBEngine:
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
-        if bstage not in ("auto", "planar", "folded", "turned"):
+        if bstage not in ("auto", "planar", "folded", "turned", "fused"):
             raise ValueError(f"unknown bstage backend {bstage!r}")
         fengine, bstage, ct_batch_a = resolve_backends(
             cfg, n_spectra, fengine, bstage, ct_batch_a, fengine_interpret
@@ -147,7 +154,7 @@ class FBEngine:
                 _coeff_blocks,
                 cfg=cfg,
                 dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
-                folded=(bstage in ("folded", "turned")),
+                folded=(bstage in ("folded", "turned", "fused")),
             )
         )
         self._coeff_blocks = None
@@ -358,7 +365,17 @@ def _fb_step(
         qr = requantise(re, quant_scale)  # [A, P, S, C] int8
         qi = requantise(im, quant_scale)
 
-    if bstage == "turned":
+    if bstage == "fused":
+        # ---- B-engine fastest path: corner turn + block-diagonal
+        # multi-channel dot in ONE Pallas kernel — no [C, 2A, P·S]
+        # operand ever reaches HBM (ops/bstage_pallas.py) ----
+        from dpdk_dc_sand_tpu.ops.bstage_pallas import beamform_turned_fused
+
+        beam_re, beam_im = beamform_turned_fused(
+            qr, qi, coeff_blocks, n_pols=cfg.n_pols, precision=precision,
+            interpret=fengine_interpret,
+        )
+    elif bstage == "turned":
         # ---- B-engine fast path: Pallas corner-turn kernel (explicit
         # DMA tiling + Mosaic 8-bit in-VMEM transpose, ~390 GB/s vs
         # ~34 GB/s for the XLA turn) + one folded block-complex dot per

@@ -520,6 +520,7 @@ def _fengine_kernel_ct(
         "s_blk",
         "deint",
         "ct_batch_a",
+        "vmem_limit_mb",
     ),
 )
 def fengine_fused(
@@ -537,6 +538,7 @@ def fengine_fused(
     s_blk: int | None = None,
     deint: str = "auto",
     ct_batch_a: bool = False,
+    vmem_limit_mb: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -616,6 +618,9 @@ def fengine_fused(
     ) * 2
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=(
+            vmem_limit_mb << 20 if vmem_limit_mb is not None else None
+        ),
     )
 
     if deint == "ct":

@@ -75,7 +75,7 @@ class ShardedFBEngine:
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
-        if bstage not in ("auto", "planar", "turned"):
+        if bstage not in ("auto", "planar", "turned", "fused"):
             raise ValueError(f"unknown bstage backend {bstage!r}")
         ant_size = mesh.shape["ant"]
         time_size = mesh.shape["time"]
@@ -106,17 +106,24 @@ class ShardedFBEngine:
                     else "xla"
                 )
             if bstage == "auto":
-                bstage = (
-                    "turned"
-                    if pallas_ok
-                    and corner_turn_supported(
-                        cfg.n_ants // max(ant_size, 1),
-                        cfg.n_pols,
-                        n_spectra,
-                        cfg.n_channels // max(time_size, 1),
-                    )
-                    else "planar"
+                from dpdk_dc_sand_tpu.ops.bstage_pallas import (
+                    bstage_fused_supported,
                 )
+
+                a_loc = cfg.n_ants // max(ant_size, 1)
+                c_loc = cfg.n_channels // max(time_size, 1)
+                # "turned" over "fused": same measured ordering as the
+                # single-chip engine (see models/fbengine.py).
+                if pallas_ok and corner_turn_supported(
+                    a_loc, cfg.n_pols, n_spectra, c_loc
+                ):
+                    bstage = "turned"
+                elif pallas_ok and bstage_fused_supported(
+                    a_loc, cfg.n_pols, n_spectra, cfg.n_beams, c_loc
+                ):
+                    bstage = "fused"
+                else:
+                    bstage = "planar"
         self.fengine = fengine
         self.bstage = bstage
         if cfg.n_ants % ant_size:
@@ -334,7 +341,18 @@ def _sharded_fb_body(
     # collective: all-reduce (psum) for replicated beams, or
     # reduce-scatter (psum_scatter over the beam axis) — the warp-shuffle
     # tree of BeamformerKernels.cu:318-341 at ICI scale.
-    if bstage == "turned":
+    if bstage == "fused":
+        # Corner turn + block-diagonal dot in one Pallas kernel — the
+        # single-chip fastest B path, per shard (ops/bstage_pallas.py).
+        from dpdk_dc_sand_tpu.ops.bstage_pallas import beamform_turned_fused
+        from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat
+
+        blocks = steering_coeff_blockcat(cos_l, sin_l)
+        pre, pim = beamform_turned_fused(
+            ar, ai, blocks, n_pols=cfg.n_pols, precision=precision,
+            interpret=fengine_interpret,
+        )
+    elif bstage == "turned":
         # Local corner turn via the Pallas kernel (the XLA turn runs at
         # ~34 GB/s effective; see ops/corner_turn.py) + one folded dot.
         from dpdk_dc_sand_tpu.ops.beamform import beamform_turned

@@ -263,6 +263,22 @@ def test_fbengine_folded_bstage_matches_planar():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_fbengine_fused_bstage_matches_planar():
+    """bstage="fused" (corner turn + block-diagonal dot in one Pallas
+    kernel) == planar. The block-diagonal zeros are exact, so f32 beams
+    agree to float tolerance."""
+    cfg = ArrayConfig(n_ants=5, n_channels=64, n_beams=2, n_taps=4)
+    planar = FBEngine(cfg, n_spectra=64, precision="f32")
+    fused = FBEngine(
+        cfg, n_spectra=64, precision="f32", bstage="fused",
+        fengine_interpret=True,
+    )
+    inputs = planar.example_inputs()
+    want = np.asarray(planar(*inputs))
+    got = np.asarray(fused(*inputs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
 def test_fbengine_turned_bstage_matches_planar():
     """bstage="turned" (Pallas corner turn + folded dot) == planar.
 

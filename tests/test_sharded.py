@@ -238,15 +238,18 @@ def test_sharded_fused_fengine_matches_single_chip_fused():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
-def test_sharded_turned_bstage_matches_planar():
-    """bstage="turned" (Pallas corner turn in-shard) ≡ planar sharded."""
+@pytest.mark.parametrize("bstage", ["turned", "fused"])
+def test_sharded_pallas_bstage_matches_planar(bstage):
+    """Pallas B-stages in-shard (corner turn + dot, or the one-kernel
+    fused form) ≡ planar sharded."""
     mesh = make_mesh(4, shape=(2, 2))
+    n_spectra = 8 if bstage == "turned" else 64  # fused needs P·S % 128
     cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
-    planar = ShardedFBEngine(cfg, mesh, n_spectra=8)
-    turned = ShardedFBEngine(
-        cfg, mesh, n_spectra=8, bstage="turned", fengine_interpret=True
+    planar = ShardedFBEngine(cfg, mesh, n_spectra=n_spectra)
+    pall = ShardedFBEngine(
+        cfg, mesh, n_spectra=n_spectra, bstage=bstage, fengine_interpret=True
     )
     adc, fd, ph, dv = planar.example_inputs()
     want = np.asarray(planar(adc, fd, ph, dv))
-    got = np.asarray(turned(adc, fd, ph, dv))
+    got = np.asarray(pall(adc, fd, ph, dv))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
