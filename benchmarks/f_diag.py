@@ -1,0 +1,113 @@
+"""F-kernel bottleneck diagnostic — same-process A/B variants.
+
+Isolates where the fused F kernel's time goes at the flagship geometry
+by perturbing one axis per variant (same methodology as
+turned_stage_split.py, so numbers are comparable within one run):
+
+- base      : taps=16, batch-A, s_blk=8 (the production config)
+- taps1     : taps=1 — deletes 15/16 of the FIR VPU work AND the
+              sliding-window DMA/convert amplification; base − taps1 ≈
+              FIR + amplification cost
+- taps4     : taps=4 — interpolates the FIR axis
+- persi     : taps=16, per-si schedule s_blk=16 (no batch-A staging)
+- sblk4     : taps=16, batch-A, s_blk=4 — more grid steps, less VMEM
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo \
+     python benchmarks/f_diag.py [S [variant ...]]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+A, P, C = 80, 2, 32768
+FFT = 2 * C
+
+VARIANTS = {
+    "base": dict(taps=16, batch_a=True, s_blk=None),
+    "taps1": dict(taps=1, batch_a=True, s_blk=None),
+    "taps4": dict(taps=4, batch_a=True, s_blk=None),
+    "persi": dict(taps=16, batch_a=False, s_blk=16),
+    "sblk4": dict(taps=16, batch_a=True, s_blk=4),
+}
+
+
+def run(S, name):
+    import jax
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.golden.pfb import pfb_window
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
+
+    v = VARIANTS[name]
+    taps = v["taps"]
+    rng = np.random.default_rng(5)
+    n_frames = S + taps - 1
+    frames = jnp.asarray(
+        rng.integers(-64, 64, (A, P, n_frames, FFT), dtype=np.int8)
+    )
+    window = jnp.asarray(np.asarray(pfb_window(taps, FFT)))
+    fd = jnp.asarray(rng.uniform(-0.5, 0.5, (A, P)).astype(np.float32))
+    ph = -jnp.pi * fd / 2
+
+    def step(frames_c, fd_c):
+        qr, qi = fengine_fused(
+            frames_c, window, fd_c, ph,
+            n_channels=C, quant_scale=1.0 / 16.0,
+            ct_batch_a=v["batch_a"], s_blk=v["s_blk"],
+        )
+        return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()
+
+    def factory(n_iters):
+        @jax.jit
+        def runf(f0, fd0):
+            def body(i, carry):
+                f_c, fd_c, acc = carry
+                probe = step(f_c, fd_c) * 1e-30
+                return (
+                    f_c.at[0, 0, 0, 0].add(probe.astype(jnp.int8)),
+                    fd_c + probe,
+                    acc + probe,
+                )
+
+            return jax.lax.fori_loop(0, n_iters, body, (f0, fd0, jnp.float32(0)))[2]
+
+        return runf
+
+    r2, r6 = factory(2), factory(6)
+    t0 = time.time()
+    float(r2(frames, fd))
+    comp = time.time() - t0
+    float(r6(frames, fd))
+    t2 = t6 = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        float(r2(frames, fd))
+        t2 = min(t2, time.time() - t0)
+        t0 = time.time()
+        float(r6(frames, fd))
+        t6 = min(t6, time.time() - t0)
+    per = max((t6 - t2) / 4, 1e-9)
+    samples = A * P * S * FFT
+    print(
+        f"S={S} {name:6s}: {per*1e3:7.2f} ms ({samples/per/1e9:6.2f} Gs/s)"
+        f" [compile {comp:.0f}s]",
+        flush=True,
+    )
+
+
+def main(argv):
+    S = int(argv[0]) if argv else 128
+    names = argv[1:] or list(VARIANTS)
+    for n in names:
+        try:
+            run(S, n)
+        except Exception as e:
+            print(f"{n}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

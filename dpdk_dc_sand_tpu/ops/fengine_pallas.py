@@ -196,7 +196,6 @@ def _fengine_kernel(
     n_taps: int,
     n1: int,
     n2: int,
-    quant_scale: float,
     dft_dtype,
     deint: str,
 ):
@@ -344,11 +343,12 @@ def _fengine_kernel(
         xr = er + untc_ref[:] * orr - unts_ref[:] * oi
         xi = ei + untc_ref[:] * oi + unts_ref[:] * orr
 
-        # ---- fine delay rotation + round-half-even int8 requant ----
+        # ---- fine delay rotation + round-half-even int8 requant (the
+        # requant gain is pre-folded into rot_c/rot_s by the wrapper) ----
         outr = xr * rot_c - xi * rot_s
         outi = xr * rot_s + xi * rot_c
-        qr = jnp.clip(jnp.rint(outr * quant_scale), -127.0, 127.0)
-        qi = jnp.clip(jnp.rint(outi * quant_scale), -127.0, 127.0)
+        qr = jnp.clip(jnp.rint(outr), -127.0, 127.0)
+        qi = jnp.clip(jnp.rint(outi), -127.0, 127.0)
         outr_ref[0, si] = qr.astype(jnp.int8)
         outi_ref[0, si] = qi.astype(jnp.int8)
 
@@ -358,12 +358,11 @@ def _fengine_kernel_ct(
     wina_ref,  # PFB window [n_taps*N1, N2] f32
     dft1c_ref,  # [N1, N1] stage-A DFT cos
     dft1s_ref,  # [N1, N1] stage-A DFT −sin
-    dft2c_ref,  # [N2/2, N2] stage-B half-output DFT cos
-    dft2s_ref,  # [N2/2, N2] stage-B −sin
+    dft2_ref,  # [N2, N2] stage-B half-output DFT [cos; −sin] row-stacked
     twc_ref,  # [N1, N2] inter-stage twiddle cos(2π·k1·n2/fft)
     tws_ref,  # [N1, N2] −sin
-    rotc_ref,  # [1, N2/2, N1] f32 per-batch fine-delay rotation cos
-    rots_ref,  # [1, N2/2, N1] f32 sin
+    rotc_ref,  # [1, N2/2, N1] f32 per-batch rotation cos · quant_scale
+    rots_ref,  # [1, N2/2, N1] f32 sin · quant_scale
     outr_ref,  # [1, s_blk, N2/2, N1] int8
     outi_ref,  # [1, s_blk, N2/2, N1] int8
     scratch,  # [2, (s_blk+taps-1)*N1, N2] int8 VMEM
@@ -372,7 +371,6 @@ def _fengine_kernel_ct(
     n_taps: int,
     n1: int,
     n2: int,
-    quant_scale: float,
     dft_dtype,
     batch_a: bool = False,
 ):
@@ -428,7 +426,11 @@ def _fengine_kernel_ct(
 
     rot_c, rot_s = rotc_ref[0], rots_ref[0]
     d1c, d1s = dft1c_ref[:].astype(dft_dtype), dft1s_ref[:].astype(dft_dtype)
-    d2c, d2s = dft2c_ref[:].astype(dft_dtype), dft2s_ref[:].astype(dft_dtype)
+    # Row-stacked [cos; −sin] stage-B matrix: both halves of the complex
+    # product come from ONE full-M dot per operand (2 dots of M=N2
+    # instead of 4 of M=N2/2 — fewer MXU dispatches, full M tiles).
+    d2 = dft2_ref[:].astype(dft_dtype)
+    h = n2 // 2
 
     prec = (
         jax.lax.Precision.HIGHEST
@@ -464,13 +466,21 @@ def _fengine_kernel_ct(
         return acc
 
     def epilogue(si, re, im):
-        # Fine delay rotation + round-half-even int8 requant.
+        # Fine delay rotation + round-half-even int8 requant (the
+        # requant gain is pre-folded into rot_c/rot_s by the wrapper).
         outr = re * rot_c - im * rot_s
         outi = re * rot_s + im * rot_c
-        qr = jnp.clip(jnp.rint(outr * quant_scale), -127.0, 127.0)
-        qi = jnp.clip(jnp.rint(outi * quant_scale), -127.0, 127.0)
+        qr = jnp.clip(jnp.rint(outr), -127.0, 127.0)
+        qi = jnp.clip(jnp.rint(outi), -127.0, 127.0)
         outr_ref[0, si] = qr.astype(jnp.int8)
         outi_ref[0, si] = qi.astype(jnp.int8)
+
+    def stage_b(trd, tid):
+        # Stacked stage B: yr rows [cos·tr; −sin·tr], yi likewise; the
+        # complex combine is two row-half adds. Keeps k2 < N2/2.
+        yr = dot_t(d2, trd)  # [N2, N1]
+        yi = dot_t(d2, tid)
+        return yr[:h] - yi[h:], yi[:h] + yr[h:]
 
     if batch_a:
         for si in range(s_blk):
@@ -486,8 +496,7 @@ def _fengine_kernel_ct(
         trd, tid = tr.astype(dft_dtype), ti.astype(dft_dtype)
         for si in range(s_blk):
             sl = slice(si * n2, (si + 1) * n2)
-            re = dot_t(d2c, trd[:, sl]) - dot_t(d2s, tid[:, sl])
-            im = dot_t(d2c, tid[:, sl]) + dot_t(d2s, trd[:, sl])
+            re, im = stage_b(trd[:, sl], tid[:, sl])
             epilogue(si, re, im)
         return
 
@@ -503,8 +512,7 @@ def _fengine_kernel_ct(
         trd, tid = tr.astype(dft_dtype), ti.astype(dft_dtype)
 
         # Stage B: contract n2, keep k2 < N2/2 → [N2/2, N1] plane.
-        re = dot_t(d2c, trd) - dot_t(d2s, tid)
-        im = dot_t(d2c, tid) + dot_t(d2s, trd)
+        re, im = stage_b(trd, tid)
         epilogue(si, re, im)
 
 
@@ -599,7 +607,10 @@ def fengine_fused(
         + channel_offset
     )
     rot = -jnp.pi * fd * (k - n_channels_total / 2.0) / n_channels_total + ph
-    rotc, rots = jnp.cos(rot), jnp.sin(rot)
+    # Requant gain folded into the rotation planes: two fewer VPU
+    # multiplies per output sample in the kernel epilogues.
+    rotc = jnp.cos(rot) * quant_scale
+    rots = jnp.sin(rot) * quant_scale
     rot_spec = pl.BlockSpec(
         (1, out_rows, out_lanes), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
     )
@@ -638,13 +649,11 @@ def fengine_fused(
         if ct_batch_a:
             # Stage A runs block-wide; tile the twiddles across s_blk.
             twc, tws = np.tile(twc, (1, s_blk)), np.tile(tws, (1, s_blk))
+        # Stage-B [cos; −sin] row-stack: one full-M dot per operand.
+        d2stack = np.concatenate([np.cos(a2), -np.sin(a2)], axis=0)
         consts = [
             jnp.asarray(c, jnp.float32)
-            for c in (
-                np.cos(a1), -np.sin(a1),
-                np.cos(a2), -np.sin(a2),
-                twc, tws,
-            )
+            for c in (np.cos(a1), -np.sin(a1), d2stack, twc, tws)
         ]
         const_specs = [
             pl.BlockSpec(c.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM)
@@ -663,7 +672,6 @@ def fengine_fused(
                 n_taps=n_taps,
                 n1=n1,
                 n2=n2,
-                quant_scale=quant_scale,
                 dft_dtype=jnp.dtype(dft_dtype),
                 batch_a=ct_batch_a,
             ),
@@ -731,7 +739,6 @@ def fengine_fused(
             n_taps=n_taps,
             n1=n1,
             n2=n2,
-            quant_scale=quant_scale,
             dft_dtype=jnp.dtype(dft_dtype),
             deint=deint,
         ),
