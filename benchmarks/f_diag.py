@@ -32,6 +32,16 @@ VARIANTS = {
     "taps4": dict(taps=4, batch_a=True, s_blk=None),
     "persi": dict(taps=16, batch_a=False, s_blk=16),
     "sblk4": dict(taps=16, batch_a=True, s_blk=4),
+    # coarse delay folded into the kernel DMA (raw ADC in, no XLA
+    # alignment pass) — compare against the stage-split 'f' stage
+    # (XLA coarse + kernel), not against 'base' (no coarse at all).
+    "ckernel": dict(taps=16, batch_a=True, s_blk=None, coarse="kernel"),
+    "cxla": dict(taps=16, batch_a=True, s_blk=None, coarse="xla"),
+    # rolling FIR-history ring (fresh groups only per step)
+    "roll": dict(taps=16, batch_a=True, s_blk=None, rolling=True),
+    "rollck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True
+    ),
 }
 
 
@@ -44,21 +54,51 @@ def run(S, name):
 
     v = VARIANTS[name]
     taps = v["taps"]
+    coarse = v.get("coarse")
     rng = np.random.default_rng(5)
     n_frames = S + taps - 1
-    frames = jnp.asarray(
-        rng.integers(-64, 64, (A, P, n_frames, FFT), dtype=np.int8)
-    )
+    if coarse:
+        margin = 16384
+        n_in = n_frames * FFT + margin
+        frames = jnp.asarray(
+            rng.integers(-64, 64, (A, P, n_in), dtype=np.int8)
+        )
+        cd = jnp.asarray(
+            np.broadcast_to(
+                rng.integers(0, 8192, A).astype(np.int32)[:, None], (A, P)
+            )
+        )
+    else:
+        frames = jnp.asarray(
+            rng.integers(-64, 64, (A, P, n_frames, FFT), dtype=np.int8)
+        )
     window = jnp.asarray(np.asarray(pfb_window(taps, FFT)))
     fd = jnp.asarray(rng.uniform(-0.5, 0.5, (A, P)).astype(np.float32))
     ph = -jnp.pi * fd / 2
 
     def step(frames_c, fd_c):
-        qr, qi = fengine_fused(
-            frames_c, window, fd_c, ph,
-            n_channels=C, quant_scale=1.0 / 16.0,
-            ct_batch_a=v["batch_a"], s_blk=v["s_blk"],
-        )
+        if coarse == "kernel":
+            qr, qi = fengine_fused(
+                frames_c, window, fd_c, ph,
+                n_channels=C, quant_scale=1.0 / 16.0,
+                ct_batch_a=v["batch_a"], s_blk=v["s_blk"],
+                coarse_delays=cd, n_spectra=S,
+                rolling=v.get("rolling", False),
+            )
+        else:
+            if coarse == "xla":
+                from dpdk_dc_sand_tpu.ops.delay import coarse_delay
+
+                aligned = coarse_delay(frames_c, cd[:, 0], n_frames * FFT)
+                fr = aligned.reshape(A, P, n_frames, FFT)
+            else:
+                fr = frames_c
+            qr, qi = fengine_fused(
+                fr, window, fd_c, ph,
+                n_channels=C, quant_scale=1.0 / 16.0,
+                ct_batch_a=v["batch_a"], s_blk=v["s_blk"],
+                rolling=v.get("rolling", False),
+            )
         return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()
 
     def factory(n_iters):
@@ -68,7 +108,7 @@ def run(S, name):
                 f_c, fd_c, acc = carry
                 probe = step(f_c, fd_c) * 1e-30
                 return (
-                    f_c.at[0, 0, 0, 0].add(probe.astype(jnp.int8)),
+                    f_c.at[(0,) * f_c.ndim].add(probe.astype(jnp.int8)),
                     fd_c + probe,
                     acc + probe,
                 )

@@ -321,31 +321,57 @@ def _fb_step(
 ) -> jax.Array:
     # ---- F-engine ----
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
-    aligned = coarse_delay(adc, coarse_delays, out_len)
     if fengine != "xla":
         # Single fused Pallas kernel: FIR + MXU rFFT + fine delay +
         # requant, int8 in / int8 out, no HBM intermediates (see
         # ops/fengine_pallas.py). "fused" uses bf16 DFT operands with
         # f32 accumulation; "fused_f32" keeps exact f32 MACs.
-        from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
-
-        frames = aligned.reshape(
-            cfg.n_ants, cfg.n_pols, -1, cfg.fft_size
+        from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+            coarse_margin_samples,
+            fengine_fused,
         )
-        qr, qi = fengine_fused(
-            frames,
-            window,
-            jnp.broadcast_to(
-                frac_delays[:, None], (cfg.n_ants, cfg.n_pols)
-            ),
-            jnp.broadcast_to(phases[:, None], (cfg.n_ants, cfg.n_pols)),
+
+        fd_b = jnp.broadcast_to(
+            frac_delays[:, None], (cfg.n_ants, cfg.n_pols)
+        )
+        ph_b = jnp.broadcast_to(phases[:, None], (cfg.n_ants, cfg.n_pols))
+        common = dict(
             n_channels=cfg.n_channels,
             quant_scale=quant_scale,
             dft_dtype="float32" if fengine == "fused_f32" else "bfloat16",
             interpret=fengine_interpret,
             ct_batch_a=ct_batch_a,
         )
+        margin_need = coarse_margin_samples(
+            cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a
+        )
+        if (
+            margin_need is not None
+            and adc.shape[-1] >= out_len + margin_need
+        ):
+            # Coarse delay folded into the kernel's DMA offsets + an
+            # in-VMEM sub-row shift — the XLA alignment pass (a full
+            # HBM rewrite via per-antenna dynamic slices, ~21 ms at the
+            # flagship config) disappears entirely.
+            qr, qi = fengine_fused(
+                adc,
+                window,
+                fd_b,
+                ph_b,
+                coarse_delays=jnp.broadcast_to(
+                    coarse_delays[:, None], (cfg.n_ants, cfg.n_pols)
+                ),
+                n_spectra=n_spectra,
+                **common,
+            )
+        else:
+            aligned = coarse_delay(adc, coarse_delays, out_len)
+            frames = aligned.reshape(
+                cfg.n_ants, cfg.n_pols, -1, cfg.fft_size
+            )
+            qr, qi = fengine_fused(frames, window, fd_b, ph_b, **common)
     else:
+        aligned = coarse_delay(adc, coarse_delays, out_len)
         spectra = pfb_channelise(
             aligned, window, n_channels=cfg.n_channels, use_pallas=use_pallas
         )  # [A, P, S, C] complex64

@@ -155,6 +155,28 @@ def _pick_s_blk(n_spectra: int, cap: int = _S_BLK_MAX) -> int:
     return blk
 
 
+def coarse_margin_samples(
+    fft_size: int, n_taps: int, n_spectra: int, ct_batch_a: bool = False
+) -> int | None:
+    """Trailing ADC margin (samples) the in-kernel coarse delay needs
+    BEYOND the largest coarse delay (DMA padding slack).
+
+    The caller must supply ``out_len + coarse_margin_samples(...) +
+    max_delay`` samples — exactly as the XLA alignment path needs
+    ``out_len + max_delay``, plus this constant slack. ``None`` when the
+    geometry can't take the direct-CT kernel (the only form with the
+    manual-DMA structure the fold needs).
+    """
+    n = fft_size // 2
+    mode, n1, n2 = _deint_mode(n)
+    if mode != "ct":
+        return None
+    s_blk = _pick_s_blk(n_spectra, 8 if ct_batch_a else _S_BLK_MAX)
+    pad = _coarse_pad_rows((s_blk + n_taps - 1) * n1)
+    fresh = _coarse_pad_rows(s_blk * n1)
+    return max(pad, fresh) * n2
+
+
 def fused_supported(frames_shape: tuple[int, ...], n_taps: int, n_channels: int) -> bool:
     """Whether the fused kernel handles this shape (else composed ops)."""
     *_, n_frames, fft_size = frames_shape
@@ -353,6 +375,53 @@ def _fengine_kernel(
         outi_ref[0, si] = qi.astype(jnp.int8)
 
 
+def _coarse_pad_rows(rows: int) -> int:
+    """Extra DMA rows for in-kernel coarse delay: 8 for the sub-8 row
+    residual + 1 for the lane carry, rounded so the padded tile stays
+    32-row aligned (the u32 bitcast view needs 8-aligned word-rows)."""
+    return ((rows + 9 + 31) // 32) * 32 - rows
+
+
+def _align_tile(u8, qr, r):
+    """Advance an int8 ``[R, N2]`` tile by ``qr·N2 + r`` samples in VMEM.
+
+    The in-kernel coarse delay: Mosaic's dynamic rotate is 32-bit-only,
+    so the int8 tile is bitcast to a u32 view (4 consecutive rows pack
+    little-endian into each word-row — verified on hardware), where
+
+    - a shift by k int8 rows is ``(u >> 8k) | (next_word_row << 32−8k)``
+      (static byte shifts + one static sublane roll);
+    - a shift by r lanes is one dynamic lane rotate, with the wrapped
+      lanes patched from the next-int8-row view.
+
+    ``R % 32 == 0`` required (u32 sublane alignment). The caller's DMA
+    supplies ``_COARSE_EXTRA_ROWS`` rows beyond the nominal tile so the
+    shifted window stays in bounds; rows past the nominal count hold
+    shifted-in garbage and must not be read.
+    """
+    rw = u8.shape[0] // 4
+    n2 = u8.shape[1]
+    u = pltpu.bitcast(u8, jnp.uint32)  # [rw, n2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+
+    # Row shift qr in 0..7 = word-row roll (qw in {0,1}) + a uniform
+    # dynamic byte shift (qb in 0..3; `qb+4` when qw folds in would
+    # exceed the 32-bit shift range, hence the separate roll).
+    qw, qb = qr // 4, qr % 4
+    sh = (8 * qb).astype(jnp.uint32)  # keep shifts unsigned (logical)
+    shc = jnp.uint32(32) - sh
+    down = pltpu.roll(u, rw - 1, 0)
+    vw = jnp.where(qw == 1, down, u)
+    vw_dn = jnp.where(qw == 1, pltpu.roll(u, rw - 2, 0), down)
+    v = jnp.where(qb == 0, vw, (vw >> sh) | (vw_dn << shc))
+    # Lane shift r with next-int8-row carry on the wrapped lanes.
+    nxt = (v >> 8) | (pltpu.roll(v, rw - 1, 0) << 24)
+    rolled = pltpu.roll(v, (n2 - r) % n2, 1)
+    rolled_n = pltpu.roll(nxt, (n2 - r) % n2, 1)
+    aligned = jnp.where(lane >= n2 - r, rolled_n, rolled)
+    return pltpu.bitcast(aligned, jnp.int8)
+
+
 def _fengine_kernel_ct(
     frames_hbm,  # [B, n_frames*N1, N2] int8 (fft_size = N1*N2, row-major)
     wina_ref,  # PFB window [n_taps*N1, N2] f32
@@ -373,6 +442,10 @@ def _fengine_kernel_ct(
     n2: int,
     dft_dtype,
     batch_a: bool = False,
+    sref=None,  # [B, 3] i32 SMEM (q8 rows, row residual, lane shift)
+    coarse_pad: int = 0,
+    rolling: bool = False,
+    fresh_pad: int = 0,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -390,21 +463,71 @@ def _fengine_kernel_ct(
       column slices. Same math, same rounding points (the staging write
       is the ``accd`` cast).
     """
-    if batch_a:
+    if rolling:
+        if batch_a:
+            ring_ref, accb_ref, sems = rest
+        else:
+            ring_ref, sems = rest
+    elif batch_a:
         accb_ref, sems = rest
     else:
         (sems,) = rest
     b = pl.program_id(0)
     s = pl.program_id(1)
     n_s = pl.num_programs(1)
-    rows = (s_blk + n_taps - 1) * n1
+    n_groups = s_blk + n_taps - 1  # ring slots (frame groups)
+    rows = n_groups * n1
+    rows_dma = rows + (coarse_pad if sref is not None else 0)
+    fresh_rows = s_blk * n1
+    fresh_dma = fresh_rows + (fresh_pad if sref is not None else 0)
 
-    def dma(slot, bi, si):
+    def q8_of(bi):
+        # Per-batch coarse-delay row offset (8-aligned by construction;
+        # the sub-row residual is shifted in VMEM).
+        return pl.multiple_of(sref[bi, 0], 8) if sref is not None else 0
+
+    def dma_full(slot, bi, si):
         return pltpu.make_async_copy(
-            frames_hbm.at[bi, pl.ds(si * s_blk * n1, rows), :],
-            scratch.at[slot],
+            frames_hbm.at[bi, pl.ds(si * s_blk * n1 + q8_of(bi), rows_dma), :],
+            scratch.at[slot] if not rolling else scratch.at[slot, 0:rows_dma],
             sems.at[slot],
         )
+
+    def dma_fresh(slot, bi, si):
+        # Rolling mode, si > 0: only the s_blk NEW frame groups; the
+        # FIR history lives in the bf16 ring from previous steps.
+        start = (si * s_blk + n_taps - 1) * n1 + q8_of(bi)
+        return pltpu.make_async_copy(
+            frames_hbm.at[bi, pl.ds(start, fresh_dma), :],
+            scratch.at[slot, 0:fresh_dma],
+            sems.at[slot],
+        )
+
+    def dma_start(slot, bi, si):
+        if not rolling:
+            dma_full(slot, bi, si).start()
+            return
+
+        @pl.when(si == 0)
+        def _():
+            dma_full(slot, bi, si).start()
+
+        @pl.when(si != 0)
+        def _():
+            dma_fresh(slot, bi, si).start()
+
+    def dma_wait(slot, bi, si):
+        if not rolling:
+            dma_full(slot, bi, si).wait()
+            return
+
+        @pl.when(si == 0)
+        def _():
+            dma_full(slot, bi, si).wait()
+
+        @pl.when(si != 0)
+        def _():
+            dma_fresh(slot, bi, si).wait()
 
     step = b * n_s + s
     slot = jax.lax.rem(step, 2)
@@ -412,7 +535,7 @@ def _fengine_kernel_ct(
 
     @pl.when(step == 0)
     def _():
-        dma(slot, b, s).start()
+        dma_start(slot, b, s)
 
     ns_ = jax.lax.rem(s + 1, n_s)
     nb = b + jnp.where(s + 1 == n_s, 1, 0)
@@ -420,9 +543,9 @@ def _fengine_kernel_ct(
 
     @pl.when(jnp.logical_not(is_last))
     def _():
-        dma(next_slot, nb, ns_).start()
+        dma_start(next_slot, nb, ns_)
 
-    dma(slot, b, s).wait()
+    dma_wait(slot, b, s)
 
     rot_c, rot_s = rotc_ref[0], rots_ref[0]
     d1c, d1s = dft1c_ref[:].astype(dft_dtype), dft1s_ref[:].astype(dft_dtype)
@@ -452,18 +575,63 @@ def _fengine_kernel_ct(
             precision=prec,
         )
 
-    # One int8→bf16 conversion of the whole tile (int8 is exact in bf16).
-    tile = scratch[slot].astype(jnp.bfloat16)
-
-    def fir(si):
-        # FIR: one [N1, N2] slab per tap, f32 accumulate (VPU).
-        acc = tile[si * n1 : (si + 1) * n1] * wina_ref[0:n1]
-        for tap in range(1, n_taps):
-            acc = acc + (
-                tile[(si + tap) * n1 : (si + tap + 1) * n1]
-                * wina_ref[tap * n1 : (tap + 1) * n1]
+    # One int8→bf16 conversion per FRESH sample (int8 is exact in bf16).
+    if rolling:
+        # Rolling FIR history: aligned, converted frame groups persist
+        # in the bf16 ring across grid steps — the sliding window's
+        # ~(taps-1)/s_blk re-DMA/re-convert/re-align amplification
+        # disappears; only the new groups are processed each step.
+        @pl.when(s == 0)
+        def _():
+            raw = scratch[slot][0:rows_dma]
+            if sref is not None:
+                raw = _align_tile(raw, sref[b, 1], sref[b, 2])
+            ring_ref[...] = (
+                raw[0:rows].reshape(n_groups, n1, n2).astype(jnp.bfloat16)
             )
-        return acc
+
+        @pl.when(s != 0)
+        def _():
+            raw = scratch[slot][0:fresh_dma]
+            if sref is not None:
+                raw = _align_tile(raw, sref[b, 1], sref[b, 2])
+            conv = (
+                raw[0:fresh_rows]
+                .reshape(s_blk, n1, n2)
+                .astype(jnp.bfloat16)
+            )
+            for j in range(s_blk):
+                f = s * s_blk + (n_taps - 1) + j
+                ring_ref[jax.lax.rem(f, n_groups)] = conv[j]
+
+        def fir(si):
+            f0 = s * s_blk + si
+            acc = ring_ref[jax.lax.rem(f0, n_groups)] * wina_ref[0:n1]
+            for tap in range(1, n_taps):
+                acc = acc + (
+                    ring_ref[jax.lax.rem(f0 + tap, n_groups)]
+                    * wina_ref[tap * n1 : (tap + 1) * n1]
+                )
+            return acc
+
+    else:
+        raw = scratch[slot]
+        if sref is not None:
+            # In-kernel coarse delay: shift the tile by the sub-DMA
+            # residual (row residual + lane shift); rows past `rows`
+            # hold shifted-in garbage and are never read below.
+            raw = _align_tile(raw, sref[b, 1], sref[b, 2])
+        tile = raw.astype(jnp.bfloat16)
+
+        def fir(si):
+            # FIR: one [N1, N2] slab per tap, f32 accumulate (VPU).
+            acc = tile[si * n1 : (si + 1) * n1] * wina_ref[0:n1]
+            for tap in range(1, n_taps):
+                acc = acc + (
+                    tile[(si + tap) * n1 : (si + tap + 1) * n1]
+                    * wina_ref[tap * n1 : (tap + 1) * n1]
+                )
+            return acc
 
     def epilogue(si, re, im):
         # Fine delay rotation + round-half-even int8 requant (the
@@ -529,6 +697,8 @@ def _fengine_kernel_ct(
         "deint",
         "ct_batch_a",
         "vmem_limit_mb",
+        "n_spectra",
+        "rolling",
     ),
 )
 def fengine_fused(
@@ -547,6 +717,9 @@ def fengine_fused(
     deint: str = "auto",
     ct_batch_a: bool = False,
     vmem_limit_mb: int | None = None,
+    coarse_delays: jax.Array | None = None,
+    n_spectra: int | None = None,
+    rolling: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -573,13 +746,29 @@ def fengine_fused(
     ``(qr, qi)`` int8 ``[..., n_spectra, n_channels]`` planes.
     """
     n_taps, fft_size = window.shape
-    *lead, n_frames, f = frames.shape
-    assert f == fft_size and n_channels == fft_size // 2
+    if coarse_delays is None:
+        *lead, n_frames, f = frames.shape
+        assert f == fft_size and n_channels == fft_size // 2
+        n_spectra = n_frames - n_taps + 1
+        n_in = None
+    else:
+        # In-kernel coarse delay: `frames` is the RAW per-batch sample
+        # stream [..., n_in] with delay margin; the per-batch row offset
+        # is applied at DMA time and the sub-row residual in VMEM
+        # (_align_tile) — no XLA alignment pass, no aligned copy in HBM.
+        if n_spectra is None:
+            raise ValueError("coarse_delays requires n_spectra")
+        *lead, n_in = frames.shape
+        assert n_channels == fft_size // 2
+        n_frames = n_spectra + n_taps - 1
     if n_channels_total is None:
         n_channels_total = n_channels
-    n_spectra = n_frames - n_taps + 1
     n = fft_size // 2
     deint, n1, n2 = _deint_mode(n, deint)
+    if coarse_delays is not None and deint != "ct":
+        raise ValueError("in-kernel coarse delay needs the direct-CT form")
+    if rolling and deint != "ct":
+        raise ValueError("the rolling FIR history needs the direct-CT form")
     # batch_a stages [N1, s_blk·N2] + stage-A temps in VMEM; s_blk=16
     # exceeds the 16 MB scoped-VMEM limit at 256×256 (measured), 8 fits
     # and beats the per-si schedule (+7% F-only, ROADMAP 2026-08-19).
@@ -637,7 +826,30 @@ def fengine_fused(
     if deint == "ct":
         # Direct-CT constants: fft = n1·n2; d1 [N1,N1] over rows,
         # half-output d2 [N2/2, N2], twiddle [N1, N2] (trace-time numpy).
-        fr = frames.reshape(batch, n_frames * n1, n2)
+        scal = None
+        pad = _coarse_pad_rows((s_blk + n_taps - 1) * n1)
+        fresh_pad = _coarse_pad_rows(s_blk * n1)
+        if coarse_delays is None:
+            fr = frames.reshape(batch, n_frames * n1, n2)
+        else:
+            n_rows_total = n_in // n2
+            need = n_frames * n1 + max(pad, fresh_pad)
+            if n_rows_total < need:
+                raise ValueError(
+                    f"in-kernel coarse delay needs >= {need * n2} samples "
+                    f"({(need - n_frames * n1) * n2} margin), got {n_in}"
+                )
+            fr = frames[..., : n_rows_total * n2].reshape(
+                batch, n_rows_total, n2
+            )
+            cd = jnp.broadcast_to(
+                jnp.asarray(coarse_delays, jnp.int32), tuple(lead)
+            ).reshape(batch)
+            q_rows = cd // n2
+            q8 = jnp.clip((q_rows // 8) * 8, 0, n_rows_total - need)
+            scal = jnp.stack(
+                [q8, jnp.clip(q_rows - q8, 0, 7), cd % n2], axis=1
+            ).astype(jnp.int32)
         wina = winf.reshape(n_taps * n1, n2)
         k1 = np.arange(n1)
         k2h = np.arange(n2 // 2)
@@ -655,42 +867,106 @@ def fengine_fused(
             jnp.asarray(c, jnp.float32)
             for c in (np.cos(a1), -np.sin(a1), d2stack, twc, tws)
         ]
-        const_specs = [
-            pl.BlockSpec(c.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM)
-            for c in consts
-        ]
-        scratch_shapes = [pltpu.VMEM((2, rows, n2), jnp.int8)]
+        kernel = functools.partial(
+            _fengine_kernel_ct,
+            s_blk=s_blk,
+            n_taps=n_taps,
+            n1=n1,
+            n2=n2,
+            dft_dtype=jnp.dtype(dft_dtype),
+            batch_a=ct_batch_a,
+            coarse_pad=pad,
+            rolling=rolling,
+            fresh_pad=fresh_pad,
+        )
+        scratch_rows = rows + (pad if scal is not None else 0)
+        scratch_shapes = [pltpu.VMEM((2, scratch_rows, n2), jnp.int8)]
+        if rolling:
+            scratch_shapes.append(
+                pltpu.VMEM(
+                    (s_blk + n_taps - 1, n1, n2), jnp.bfloat16
+                )
+            )
         if ct_batch_a:
             scratch_shapes.append(
                 pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype))
             )
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
-        qr, qi = pl.pallas_call(
-            functools.partial(
-                _fengine_kernel_ct,
-                s_blk=s_blk,
-                n_taps=n_taps,
-                n1=n1,
-                n2=n2,
-                dft_dtype=jnp.dtype(dft_dtype),
-                batch_a=ct_batch_a,
-            ),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
+        if scal is None:
+            const_specs = [
                 pl.BlockSpec(
-                    wina.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM
-                ),
-                *const_specs,
-                rot_spec,
-                rot_spec,
-            ],
-            out_specs=out_specs,
-            out_shape=out_shape,
-            scratch_shapes=scratch_shapes,
-            compiler_params=compiler_params,
-            interpret=interpret,
-        )(fr, wina, *consts, rotc, rots)
+                    c.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM
+                )
+                for c in consts
+            ]
+            qr, qi = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        wina.shape,
+                        lambda b, s: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    *const_specs,
+                    rot_spec,
+                    rot_spec,
+                ],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=scratch_shapes,
+                compiler_params=compiler_params,
+                interpret=interpret,
+            )(fr, wina, *consts, rotc, rots)
+        else:
+            # Scalar-prefetched per-batch coarse offsets; index maps gain
+            # the trailing scalar-ref argument.
+            def kernel_coarse(sref, *args):
+                kernel(*args, sref=sref)
+
+            rot_spec3 = pl.BlockSpec(
+                (1, out_rows, out_lanes),
+                lambda b, s, sr: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        wina.shape,
+                        lambda b, s, sr: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    *[
+                        pl.BlockSpec(
+                            c.shape,
+                            lambda b, s, sr: (0, 0),
+                            memory_space=pltpu.VMEM,
+                        )
+                        for c in consts
+                    ],
+                    rot_spec3,
+                    rot_spec3,
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (1, s_blk, out_rows, out_lanes),
+                        lambda b, s, sr: (b, s, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ) * 2,
+                scratch_shapes=scratch_shapes,
+            )
+            qr, qi = pl.pallas_call(
+                kernel_coarse,
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                compiler_params=compiler_params,
+                interpret=interpret,
+            )(scal, fr, wina, *consts, rotc, rots)
         shape = (*lead, n_spectra, n_channels)
         return qr.reshape(shape), qi.reshape(shape)
 

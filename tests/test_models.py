@@ -279,6 +279,33 @@ def test_fbengine_fused_bstage_matches_planar():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_fbengine_kernel_coarse_matches_xla_coarse():
+    """In-kernel coarse delay (DMA offset + in-VMEM sub-row shift) ==
+    the XLA alignment pass, through the full FBEngine step.
+
+    The engine picks the in-kernel path automatically when the ADC
+    margin covers the DMA padding; slicing the margin away forces the
+    XLA fallback on the identical stream (delays stay below the sliced
+    margin so both paths see the same samples).
+    """
+    cfg = ArrayConfig(n_ants=3, n_channels=1024, n_beams=2, n_taps=4)
+    kwargs = dict(
+        n_spectra=8, fengine="fused_f32", fengine_interpret=True,
+        bstage="planar", precision="f32",
+    )
+    fb = FBEngine(cfg, **kwargs)
+    # margin = DMA padding slack (coarse_margin_samples) + delay budget
+    adc, cd, fd, ph, dv = fb.example_inputs(margin=8192)
+    cd = (cd % 1800).astype(np.int32)
+    want_kernel = np.asarray(fb(adc, cd, fd, ph, dv))
+
+    fb2 = FBEngine(cfg, **kwargs)
+    got_xla = np.asarray(
+        fb2(adc[..., : fb2.samples_in + 1800], cd, fd, ph, dv)
+    )
+    np.testing.assert_allclose(want_kernel, got_xla, rtol=1e-5, atol=1e-4)
+
+
 def test_fbengine_turned_bstage_matches_planar():
     """bstage="turned" (Pallas corner turn + folded dot) == planar.
 
