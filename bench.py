@@ -44,7 +44,20 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False):
         cfg, n_spectra=n_spectra, fengine=fengine, precision="bf16",
         bstage=bstage, ct_batch_a=ct_batch_a,
     )
-    adc, cd, fd, ph, dv = fb.example_inputs(margin=16)
+    # Enough trailing ADC margin that the engine takes the in-kernel
+    # coarse-delay path (DMA row offsets + in-VMEM sub-row shift) instead
+    # of the XLA alignment pass — the production ingest provisions this
+    # slack the same way (models/fbengine.coarse path; ROADMAP).
+    if fengine != "xla":
+        from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
+
+        slack = coarse_margin_samples(
+            cfg.fft_size, cfg.n_taps, n_spectra, fb.ct_batch_a
+        )
+        margin = (slack or 0) + 16
+    else:
+        margin = 16
+    adc, cd, fd, ph, dv = fb.example_inputs(margin=margin)
     adc_d = jax.device_put(jnp.asarray(adc))
     cd_d, fd_d = jnp.asarray(cd), jnp.asarray(fd)
     ph_d = jnp.asarray(ph)

@@ -128,6 +128,7 @@ class FBEngine:
         fengine_interpret: bool = False,
         bstage: str = "auto",
         ct_batch_a: bool | str = "auto",
+        fengine_rolling: bool | str = "auto",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -136,9 +137,21 @@ class FBEngine:
         fengine, bstage, ct_batch_a = resolve_backends(
             cfg, n_spectra, fengine, bstage, ct_batch_a, fengine_interpret
         )
+        if fengine_rolling == "auto":
+            # The bf16 FIR-history ring deletes the sliding window's
+            # ~(taps−1)/s_blk DMA/convert re-work; bit-exact vs the full
+            # re-DMA schedule (tests/test_fengine_fused.py), direct-CT
+            # form only.
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import rolling_supported
+
+            fengine_rolling = fengine in (
+                "fused",
+                "fused_f32",
+            ) and rolling_supported(cfg.n_channels)
         self.fengine = fengine
         self.bstage = bstage
         self.ct_batch_a = ct_batch_a
+        self.fengine_rolling = bool(fengine_rolling)
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -173,6 +186,7 @@ class FBEngine:
                 fengine_interpret=fengine_interpret,
                 bstage=bstage,
                 ct_batch_a=ct_batch_a,
+                fengine_rolling=self.fengine_rolling,
             )
         )
 
@@ -318,6 +332,7 @@ def _fb_step(
     fengine_interpret: bool = False,
     bstage: str = "planar",
     ct_batch_a: bool = False,
+    fengine_rolling: bool = False,
 ) -> jax.Array:
     # ---- F-engine ----
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
@@ -341,6 +356,7 @@ def _fb_step(
             dft_dtype="float32" if fengine == "fused_f32" else "bfloat16",
             interpret=fengine_interpret,
             ct_batch_a=ct_batch_a,
+            rolling=fengine_rolling,
         )
         margin_need = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a

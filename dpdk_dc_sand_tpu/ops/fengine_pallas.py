@@ -177,6 +177,16 @@ def coarse_margin_samples(
     return max(pad, fresh) * n2
 
 
+def rolling_supported(n_channels: int) -> bool:
+    """Whether the rolling bf16 FIR-history ring applies here.
+
+    The ring persists aligned frame groups across grid steps, which
+    needs the direct-CT kernel's manual-DMA structure (the DIT
+    selection/bitcast variants re-derive their operands per step).
+    """
+    return _deint_mode(n_channels)[0] == "ct"
+
+
 def fused_supported(frames_shape: tuple[int, ...], n_taps: int, n_channels: int) -> bool:
     """Whether the fused kernel handles this shape (else composed ops)."""
     *_, n_frames, fft_size = frames_shape

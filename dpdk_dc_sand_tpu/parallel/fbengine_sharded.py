@@ -72,6 +72,8 @@ class ShardedFBEngine:
         fengine_interpret: bool = False,
         bstage: str = "auto",
         emit_planes: bool = False,
+        ct_batch_a: bool | str = "auto",
+        fengine_rolling: bool | str = "auto",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -124,8 +126,21 @@ class ShardedFBEngine:
                     bstage = "fused"
                 else:
                     bstage = "planar"
+        if ct_batch_a == "auto":
+            # Same measured choice as the single-chip engine (+7% F-only,
+            # bit-identical output — models/fbengine.resolve_backends).
+            ct_batch_a = fengine in ("fused", "fused_f32")
+        if fengine_rolling == "auto":
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import rolling_supported
+
+            fengine_rolling = fengine in (
+                "fused",
+                "fused_f32",
+            ) and rolling_supported(cfg.n_channels)
         self.fengine = fengine
         self.bstage = bstage
+        self.ct_batch_a = bool(ct_batch_a)
+        self.fengine_rolling = bool(fengine_rolling)
         if cfg.n_ants % ant_size:
             raise ValueError("n_ants must divide the ant mesh axis")
         if cfg.n_channels % time_size or n_spectra % time_size:
@@ -160,6 +175,8 @@ class ShardedFBEngine:
             fengine_interpret=fengine_interpret,
             bstage=bstage,
             emit_planes=emit_planes,
+            ct_batch_a=self.ct_batch_a,
+            fengine_rolling=self.fengine_rolling,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
@@ -283,6 +300,8 @@ def _sharded_fb_body(
     fengine_interpret: bool = False,
     bstage: str = "planar",
     emit_planes: bool = False,
+    ct_batch_a: bool = False,
+    fengine_rolling: bool = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -308,6 +327,8 @@ def _sharded_fb_body(
             quant_scale=quant_scale,
             dft_dtype="float32" if fengine == "fused_f32" else "bfloat16",
             interpret=fengine_interpret,
+            ct_batch_a=ct_batch_a,
+            rolling=fengine_rolling,
         )  # [A_loc, P, S_loc, C] int8 planes
     else:
         spectra = pfb_channelise(

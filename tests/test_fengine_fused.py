@@ -190,3 +190,41 @@ def test_ct_batch_a_matches_default_ct():
     )
     for got, ref in zip(batched, base):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("batch_a", [False, True], ids=["persi", "batcha"])
+@pytest.mark.parametrize("coarse", [False, True], ids=["aligned", "ckernel"])
+def test_rolling_history_matches_nonrolling(batch_a, coarse):
+    """Rolling bf16 FIR-history ring == the full re-DMA schedule, exactly.
+
+    Both paths convert every frame group to bf16 before the FIR (int8 is
+    exact in bf16), so persisting history groups in a VMEM ring across
+    grid steps must not change a single int8 output code — in every
+    schedule (per-si / batch-A) and with the coarse delay folded into
+    the kernel DMA or pre-aligned by the caller.
+    """
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
+
+    frames, fd, ph = _inputs(17)
+    win = default_window(TAPS, F)
+    common = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, ct_batch_a=batch_a, deint="ct",
+    )
+    if coarse:
+        rng = np.random.default_rng(23)
+        margin = coarse_margin_samples(F, TAPS, S, batch_a)
+        assert margin is not None
+        max_d = 96
+        n_in = (S + TAPS - 1) * F + margin + max_d
+        raw = rng.integers(-64, 64, size=(A, P, n_in), dtype=np.int8)
+        cd = rng.integers(0, max_d, size=(A, P)).astype(np.int32)
+        args = (jnp.asarray(raw), win, jnp.asarray(fd), jnp.asarray(ph))
+        kw = dict(coarse_delays=jnp.asarray(cd), n_spectra=S, **common)
+    else:
+        args = (jnp.asarray(frames), win, jnp.asarray(fd), jnp.asarray(ph))
+        kw = common
+    base = fengine_fused(*args, **kw)
+    rolled = fengine_fused(*args, rolling=True, **kw)
+    for got, ref in zip(rolled, base):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
