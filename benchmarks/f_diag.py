@@ -42,6 +42,12 @@ VARIANTS = {
     "rollck": dict(
         taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True
     ),
+    # software-pipelined half-block batch-A schedule (ROADMAP lever 3)
+    "pipe": dict(taps=16, batch_a=True, s_blk=None, pipeline=True),
+    "piperollck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=True,
+    ),
 }
 
 
@@ -84,6 +90,7 @@ def run(S, name):
                 ct_batch_a=v["batch_a"], s_blk=v["s_blk"],
                 coarse_delays=cd, n_spectra=S,
                 rolling=v.get("rolling", False),
+                ct_pipeline=v.get("pipeline", False),
             )
         else:
             if coarse == "xla":
@@ -98,6 +105,7 @@ def run(S, name):
                 n_channels=C, quant_scale=1.0 / 16.0,
                 ct_batch_a=v["batch_a"], s_blk=v["s_blk"],
                 rolling=v.get("rolling", False),
+                ct_pipeline=v.get("pipeline", False),
             )
         return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()
 

@@ -42,7 +42,11 @@ class EngineNode(DeviceServer):
     n_spectra:
         Spectra per chunk/step.
     margin:
-        Coarse-delay history samples carried per chunk.
+        Coarse-delay history samples carried per chunk (the delay
+        budget). When the fused F kernel runs, the node adds the
+        in-kernel coarse-delay DMA slack (coarse_margin_samples) on
+        top, so the step takes the fast path — DMA row offsets + VMEM
+        sub-row shift — instead of an XLA alignment pass.
     on_beams:
         ``callback(beams_ndarray, seq)`` for egress (UDP sender, file,
         …). Called from the processing thread.
@@ -103,6 +107,16 @@ class EngineNode(DeviceServer):
                 bstage=bstage,
             )
             self._vis_accum = None
+        if getattr(self.fb, "fengine", "xla") in ("fused", "fused_f32"):
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+                coarse_margin_samples,
+            )
+
+            slack = coarse_margin_samples(
+                cfg.fft_size, cfg.n_taps, n_spectra, self.fb.ct_batch_a
+            )
+            if slack is not None:
+                self.margin = margin = margin + slack
         self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
         chunk_bytes = int(np.prod(self.chunk_shape))
         # +16 headroom for the UDP receiver's timestamp/channel metadata

@@ -456,6 +456,7 @@ def _fengine_kernel_ct(
     coarse_pad: int = 0,
     rolling: bool = False,
     fresh_pad: int = 0,
+    pipeline: bool = False,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -661,6 +662,39 @@ def _fengine_kernel_ct(
         return yr[:h] - yi[h:], yi[:h] + yr[h:]
 
     if batch_a:
+        if pipeline and s_blk >= 4 and s_blk % 2 == 0:
+            # Software-pipelined halves: issue half 0's stage-A dots
+            # before half 1's FIR staging, so Mosaic can overlap the
+            # long VPU FIR phase with the MXU stages of the other half
+            # (the plain schedule serialises them — ROADMAP lever 3).
+            # Same ops at the same rounding points, just reordered.
+            hb = s_blk // 2
+
+            def fir_half(lo, hi):
+                for si in range(lo, hi):
+                    accb_ref[:, si * n2 : (si + 1) * n2] = fir(si).astype(
+                        accb_ref.dtype
+                    )
+
+            def tail_half(lo, hi):
+                # stage A dots + twiddle + per-si stage B/epilogue for
+                # the half-block [lo, hi).
+                sl = slice(lo * n2, hi * n2)
+                accd = accb_ref[:, sl]
+                ar, ai = dot(d1c, accd), dot(d1s, accd)
+                tr = ar * twc_ref[:, sl] - ai * tws_ref[:, sl]
+                ti = ar * tws_ref[:, sl] + ai * twc_ref[:, sl]
+                trd, tid = tr.astype(dft_dtype), ti.astype(dft_dtype)
+                for si in range(lo, hi):
+                    s2 = slice((si - lo) * n2, (si - lo + 1) * n2)
+                    re, im = stage_b(trd[:, s2], tid[:, s2])
+                    epilogue(si, re, im)
+
+            fir_half(0, hb)
+            tail_half(0, hb)  # MXU-heavy …
+            fir_half(hb, s_blk)  # … overlaps this VPU-heavy staging
+            tail_half(hb, s_blk)
+            return
         for si in range(s_blk):
             accb_ref[:, si * n2 : (si + 1) * n2] = fir(si).astype(
                 accb_ref.dtype
@@ -709,6 +743,7 @@ def _fengine_kernel_ct(
         "vmem_limit_mb",
         "n_spectra",
         "rolling",
+        "ct_pipeline",
     ),
 )
 def fengine_fused(
@@ -730,6 +765,7 @@ def fengine_fused(
     coarse_delays: jax.Array | None = None,
     n_spectra: int | None = None,
     rolling: bool = False,
+    ct_pipeline: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -888,6 +924,7 @@ def fengine_fused(
             coarse_pad=pad,
             rolling=rolling,
             fresh_pad=fresh_pad,
+            pipeline=ct_pipeline,
         )
         scratch_rows = rows + (pad if scal is not None else 0)
         scratch_shapes = [pltpu.VMEM((2, scratch_rows, n2), jnp.int8)]

@@ -228,3 +228,27 @@ def test_rolling_history_matches_nonrolling(batch_a, coarse):
     rolled = fengine_fused(*args, rolling=True, **kw)
     for got, ref in zip(rolled, base):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_ct_pipeline_matches_plain_batch_a():
+    """Software-pipelined half-block batch-A schedule == plain batch-A.
+
+    Identical ops at identical rounding points, only the program order
+    differs (half 1's FIR staging is issued between half 0's MXU stages
+    so the units can overlap) — the int8 codes must agree exactly.
+    """
+    frames, fd, ph = _inputs(29)
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, deint="ct", ct_batch_a=True,
+    )
+    base = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **kw,
+    )
+    piped = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), ct_pipeline=True, rolling=True, **kw,
+    )
+    for got, ref in zip(piped, base):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
