@@ -4,17 +4,19 @@ One kernel performs the whole F chain in VMEM — int8 frames in, int8
 (re, im) channelised planes out, ~0.85 GB of HBM per flagship step
 instead of ~4.5 GB of materialised f32/complex64 intermediates.
 
-**Measured outcome (v5e, 2026-08-19, benchmarks/honest_tune.py —
+**Measured outcome (v5e, 2026-08-20, benchmarks/f_diag.py —
 chained-ADC streaming methodology; earlier numbers from the
 loop-hoisted bench were wrong in both directions):** this kernel IS the
 fast path. The honest composed (XLA) path runs ~92 ms/step ≈ 3.7 Gs/s
 at the flagship config — XLA's TPU rFFT lowers to a four-step 256×256
 matmul-FFT that materialises five ~1.25 GB f32 stage temps per step —
-while this kernel keeps everything in VMEM: F-stage alone 28.9 Gs/s at
-S=64 (31.0 with ``ct_batch_a=True``), full F+B step 15.9 Gs/s with the
-batch-A schedule. The two-stage matmul-FFT spends more MXU MACs than a
-split-radix FFT would, but MACs are not the limiter — HBM traffic is,
-and this form eliminates it.
+while this kernel keeps everything in VMEM. F-stage at S=128 with the
+batch-A schedule: 63.0 ms with an XLA coarse-delay pass, 58.8 ms with
+the coarse delay folded into the kernel DMA (``coarse_delays=``), and
+54.4 ms ≈ 24.7 Gs/s with the rolling bf16 FIR-history ring on top
+(``rolling=True`` — both defaults via ``FBEngine``). The two-stage
+matmul-FFT spends more MXU MACs than a split-radix FFT would, but MACs
+are not the limiter — HBM traffic is, and this form eliminates it.
 
 It is the TPU-native replacement for the reference F-engine's CUDA
 FIR+cuFFT chain (katfgpu, merge_gpu_repositories/do_merge.sh:4-10) with

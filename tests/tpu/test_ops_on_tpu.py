@@ -282,3 +282,40 @@ def test_fused_fengine_kernel_on_tpu():
         )
         assert dmax <= max_code, (dt, dmax)
         assert frac <= max_frac, (dt, frac)
+
+
+def test_kernel_coarse_rolling_matches_xla_coarse_on_tpu():
+    """The default F fast path (in-kernel coarse delay + rolling bf16
+    FIR-history ring) == the XLA alignment pass, compiled through
+    Mosaic on the chip.
+
+    Same stream, two margins: with the DMA slack present the engine
+    takes the in-kernel path (DMA row offsets + VMEM sub-row shift +
+    rolling ring); with the slack sliced away it falls back to the XLA
+    coarse pass feeding the same kernel. Beams must agree to float
+    tolerance (identical int8 planes into the same B stage). Comparison
+    reduces on device; one scalar pulled.
+    """
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.models import FBEngine
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
+
+    cfg = ArrayConfig(n_ants=3, n_channels=1024, n_beams=2, n_taps=4)
+    kwargs = dict(
+        n_spectra=64, fengine="fused_f32", bstage="planar", precision="f32"
+    )
+    fb = FBEngine(cfg, **kwargs)
+    assert fb.fengine_rolling
+    slack = coarse_margin_samples(cfg.fft_size, cfg.n_taps, 64, fb.ct_batch_a)
+    assert slack is not None
+    budget = 1800
+    adc, cd, fd, ph, dv = fb.example_inputs(margin=slack + budget)
+    cd = (cd % budget).astype(np.int32)
+    want_kernel = fb(adc, cd, fd, ph, dv)
+
+    fb2 = FBEngine(cfg, **kwargs)
+    got_xla = fb2(adc[..., : fb2.samples_in + budget], cd, fd, ph, dv)
+    err = float(jnp.max(jnp.abs(want_kernel - got_xla)))
+    scale = float(jnp.max(jnp.abs(got_xla)))
+    assert err <= 1e-4 * max(1.0, scale), (err, scale)
