@@ -47,17 +47,22 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False):
     # Enough trailing ADC margin that the engine takes the in-kernel
     # coarse-delay path (DMA row offsets + in-VMEM sub-row shift) instead
     # of the XLA alignment pass — the production ingest provisions this
-    # slack the same way (models/fbengine.coarse path; ROADMAP).
+    # slack the same way (models/fbengine.coarse path; ROADMAP). The
+    # delay *budget* is separate from the DMA slack: delays are drawn in
+    # [0, budget) only, and budget > one DMA row block (8·N2 = 2048 at
+    # the flagship geometry) so nonzero 8-aligned DMA row offsets are
+    # genuinely exercised by the measured path.
+    budget = 4096
     if fengine != "xla":
         from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
 
         slack = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, fb.ct_batch_a
         )
-        margin = (slack or 0) + 16
+        margin = (slack or 0) + budget
     else:
-        margin = 16
-    adc, cd, fd, ph, dv = fb.example_inputs(margin=margin)
+        margin = budget
+    adc, cd, fd, ph, dv = fb.example_inputs(margin=margin, delay_budget=budget)
     adc_d = jax.device_put(jnp.asarray(adc))
     cd_d, fd_d = jnp.asarray(cd), jnp.asarray(fd)
     ph_d = jnp.asarray(ph)
@@ -144,6 +149,12 @@ def main() -> None:
     if value is None:
         raise SystemExit("all bench configs failed")
     cfg, n_spectra = used
+    # Honest capacity framing: vs_baseline counts realtime *antenna-pol
+    # streams* per chip; a full instrument needs n_ants·n_pols of them,
+    # so a whole 80-ant dual-pol array at this rate needs this many
+    # chips (the reference's GPUs-per-ingest cost model,
+    # BeamformerCoefficientTest.cu:441-448).
+    streams = cfg.n_ants * cfg.n_pols
     print(
         json.dumps(
             {
@@ -155,6 +166,9 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(value / ADC_RATE_MSPS, 2),
+                "chips_per_instrument": round(
+                    streams * ADC_RATE_MSPS / value, 2
+                ),
             }
         ),
         flush=True,

@@ -39,11 +39,15 @@ def run(name):
     fb = FBEngine(
         cfg, n_spectra=S, precision="bf16", fengine_rolling=v["rolling"]
     )
+    # Shared in-budget delays: cd drawn in [0, 16) for every variant, so
+    # the kernel-coarse and XLA legs apply the SAME alignments and their
+    # outputs are comparable (not just their timings).
     slack = coarse_margin_samples(cfg.fft_size, cfg.n_taps, S, fb.ct_batch_a)
-    adc, cd, fd, ph, dv = fb.example_inputs(margin=(slack or 0) + 16)
+    adc, cd, fd, ph, dv = fb.example_inputs(
+        margin=(slack or 0) + 16, delay_budget=16
+    )
     if v["coarse"] == "xla":
         adc = adc[..., : fb.samples_in + 16]
-        cd = (cd % 16).astype(cd.dtype)
     adc_d = jax.device_put(jnp.asarray(adc))
     cd_d, fd_d, ph_d = jnp.asarray(cd), jnp.asarray(fd), jnp.asarray(ph)
     fb.set_beam_delays(dv)

@@ -87,15 +87,19 @@ class EngineNode(DeviceServer):
         if emit_visibilities:
             # Full instrument: the F stage fans out to B and X inside
             # one jit; per-step visibilities integrate on-device over
-            # vis_accum_steps windows (the accumulation cadence).
+            # vis_accum_steps windows (the accumulation cadence). Shares
+            # the FBEngine fast path (fused F + turned B) — one F feeding
+            # X and B is the katgpucbf premise (do_merge.sh:4-10).
             from dpdk_dc_sand_tpu.models import FXBEngine, VisibilityAccumulator
 
-            if fengine not in ("auto", "xla") or beam_quant_scale is not None:
-                raise ValueError(
-                    "emit_visibilities uses the FXB engine (XLA F stage, "
-                    "f32 beams)"
-                )
-            self.fb = FXBEngine(cfg, n_spectra=n_spectra, use_pallas=use_pallas)
+            self.fb = FXBEngine(
+                cfg,
+                n_spectra=n_spectra,
+                use_pallas=use_pallas,
+                fengine=fengine,
+                bstage=bstage,
+                beam_quant_scale=beam_quant_scale,
+            )
             self._vis_accum = VisibilityAccumulator(vis_accum_steps)
         else:
             self.fb = FBEngine(
@@ -107,6 +111,14 @@ class EngineNode(DeviceServer):
                 bstage=bstage,
             )
             self._vis_accum = None
+        #: The user's coarse-delay budget: ?delay-model coarse values are
+        #: validated against it (a delay beyond the budget would be
+        #: silently clipped by the kernel's q8/residual clamps otherwise).
+        self.delay_budget = margin
+        #: Extra trailing DMA slack the in-kernel coarse path needs on
+        #: top of the budget (0 on the XLA path); ``self.margin`` is the
+        #: total per-chunk headroom = delay_budget + dma_slack.
+        self.dma_slack = 0
         if getattr(self.fb, "fengine", "xla") in ("fused", "fused_f32"):
             from dpdk_dc_sand_tpu.ops.fengine_pallas import (
                 coarse_margin_samples,
@@ -116,6 +128,7 @@ class EngineNode(DeviceServer):
                 cfg.fft_size, cfg.n_taps, n_spectra, self.fb.ct_batch_a
             )
             if slack is not None:
+                self.dma_slack = slack
                 self.margin = margin = margin + slack
         self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
         chunk_bytes = int(np.prod(self.chunk_shape))
@@ -358,6 +371,11 @@ class EngineNode(DeviceServer):
             )
         except ValueError as e:
             raise FailReply(str(e)) from None
+        if np.any(vals[:, 0] < 0) or np.any(vals[:, 0] > self.delay_budget):
+            raise FailReply(
+                f"coarse delay outside the node's budget "
+                f"[0, {self.delay_budget}] samples"
+            )
         with self._delay_lock:
             self._coarse = vals[:, 0].astype(np.int32)
             self._frac = vals[:, 1].astype(np.float32)

@@ -259,14 +259,28 @@ class FBEngine:
             raise RuntimeError("call set_beam_delays() first")
         return self._step(adc, coarse_delays, frac_delays, phases, self._coeff_blocks)
 
-    def example_inputs(self, seed: int = 2021, margin: int = 64):
+    def example_inputs(
+        self, seed: int = 2021, margin: int = 64, delay_budget: int | None = None
+    ):
+        """Random inputs sized for one step.
+
+        ``margin`` is the TOTAL trailing headroom carried beyond
+        ``samples_in`` (delay budget + any DMA slack); ``delay_budget``
+        bounds the drawn coarse delays (default: the whole margin).
+        Callers provisioning in-kernel coarse-delay DMA slack must pass
+        ``margin=slack+budget, delay_budget=budget`` — drawing delays
+        from the whole margin would exceed the true headroom and be
+        silently clipped by the kernel's q8/residual clamps.
+        """
         rng = np.random.default_rng(seed)
         cfg = self.cfg
         adc = rng.integers(
             -64, 64, size=(cfg.n_ants, cfg.n_pols, self.samples_in + margin),
             dtype=np.int8,
         )
-        cd = rng.integers(0, margin, size=cfg.n_ants).astype(np.int32)
+        if delay_budget is None:
+            delay_budget = margin
+        cd = rng.integers(0, delay_budget, size=cfg.n_ants).astype(np.int32)
         fd = rng.uniform(-0.5, 0.5, cfg.n_ants).astype(np.float32)
         ph = (-np.pi * fd / 2).astype(np.float32)
         dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
@@ -314,27 +328,27 @@ def _coeff_blocks(
     return cos.astype(dtype), sin.astype(dtype)
 
 
-def _fb_step(
+def _f_stage(
     adc: jax.Array,
     coarse_delays: jax.Array,
     frac_delays: jax.Array,
     phases: jax.Array,
-    coeff_blocks: jax.Array,
     *,
     window: jax.Array,
     cfg: ArrayConfig,
     n_spectra: int,
     quant_scale: float,
-    precision: str,
     use_pallas: bool | None,
     fengine: str = "xla",
-    beam_quant_scale: float | None = None,
     fengine_interpret: bool = False,
-    bstage: str = "planar",
     ct_batch_a: bool = False,
     fengine_rolling: bool = False,
-) -> jax.Array:
-    # ---- F-engine ----
+) -> tuple[jax.Array, jax.Array]:
+    """Shared F stage: coarse delay + PFB + fine delay + requantise.
+
+    Returns ``(qr, qi)`` int8 ``[A, P, S, C]`` planes — consumed by the
+    B stage(s) and (in the FXB engine) the correlator.
+    """
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
     if fengine != "xla":
         # Single fused Pallas kernel: FIR + MXU rFFT + fine delay +
@@ -406,7 +420,25 @@ def _fb_step(
         # free, input-side is not).
         qr = requantise(re, quant_scale)  # [A, P, S, C] int8
         qi = requantise(im, quant_scale)
+    return qr, qi
 
+
+def _b_stage(
+    qr: jax.Array,
+    qi: jax.Array,
+    coeff_blocks,
+    *,
+    cfg: ArrayConfig,
+    precision: str,
+    bstage: str = "planar",
+    fengine_interpret: bool = False,
+    beam_quant_scale: float | None = None,
+) -> jax.Array:
+    """Shared B stage: corner turn + multi-beam matmul (+ beam requant).
+
+    Consumes the F-stage int8 planes; returns
+    ``[P, C, S, B, 2]`` beams (f32, or int8 when ``beam_quant_scale``).
+    """
     if bstage == "fused":
         # ---- B-engine fastest path: corner turn + block-diagonal
         # multi-channel dot in ONE Pallas kernel — no [C, 2A, P·S]
@@ -447,3 +479,50 @@ def _fb_step(
         beam_re = requantise(beam_re, beam_quant_scale)
         beam_im = requantise(beam_im, beam_quant_scale)
     return jnp.stack([beam_re, beam_im], axis=-1)
+
+
+def _fb_step(
+    adc: jax.Array,
+    coarse_delays: jax.Array,
+    frac_delays: jax.Array,
+    phases: jax.Array,
+    coeff_blocks: jax.Array,
+    *,
+    window: jax.Array,
+    cfg: ArrayConfig,
+    n_spectra: int,
+    quant_scale: float,
+    precision: str,
+    use_pallas: bool | None,
+    fengine: str = "xla",
+    beam_quant_scale: float | None = None,
+    fengine_interpret: bool = False,
+    bstage: str = "planar",
+    ct_batch_a: bool = False,
+    fengine_rolling: bool = False,
+) -> jax.Array:
+    qr, qi = _f_stage(
+        adc,
+        coarse_delays,
+        frac_delays,
+        phases,
+        window=window,
+        cfg=cfg,
+        n_spectra=n_spectra,
+        quant_scale=quant_scale,
+        use_pallas=use_pallas,
+        fengine=fengine,
+        fengine_interpret=fengine_interpret,
+        ct_batch_a=ct_batch_a,
+        fengine_rolling=fengine_rolling,
+    )
+    return _b_stage(
+        qr,
+        qi,
+        coeff_blocks,
+        cfg=cfg,
+        precision=precision,
+        bstage=bstage,
+        fengine_interpret=fengine_interpret,
+        beam_quant_scale=beam_quant_scale,
+    )

@@ -6,6 +6,13 @@ channelised, delay-corrected, requantised antenna voltages fan out to the
 B-engine (multi-beam matmul) and the X-engine (visibility integration)
 inside one jit — the F-stage output is computed once and consumed twice
 without leaving HBM.
+
+The F and B stages are the same code paths as :class:`FBEngine`
+(``_f_stage`` / ``_b_stage``), so the FXB node gets the fused Pallas F
+kernel, the Pallas corner-turn B-stage, the batch-A schedule and the
+rolling FIR-history ring — one F feeding X and B is the whole katgpucbf
+premise (merge_gpu_repositories/do_merge.sh:4-10), and it must not run
+~6× slower than the repo's own F kernel.
 """
 
 from __future__ import annotations
@@ -19,12 +26,13 @@ import numpy as np
 
 from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
-from dpdk_dc_sand_tpu.models.fbengine import _coeff_blocks
-from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
+from dpdk_dc_sand_tpu.models.fbengine import (
+    _b_stage,
+    _coeff_blocks,
+    _f_stage,
+    resolve_backends,
+)
 from dpdk_dc_sand_tpu.ops.correlate import correlate_planes
-from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay, coarse_delay
-from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
-from dpdk_dc_sand_tpu.ops.requant import requantise
 
 
 class FXBEngine:
@@ -32,11 +40,17 @@ class FXBEngine:
 
     Per step returns ``(beams, vis_re, vis_im)``:
 
-    - beams ``[n_pols, n_channels, n_spectra, n_beams, 2]`` f32;
+    - beams ``[n_pols, n_channels, n_spectra, n_beams, 2]`` f32 (int8
+      when ``beam_quant_scale`` is set);
     - visibilities ``[n_channels, n_inputs, n_inputs]`` f32 each, the
       step's spectra integrated (accumulate across steps on the caller's
       side or via :class:`~dpdk_dc_sand_tpu.models.XEngine` windows),
       with ``n_inputs = n_ants · n_pols``.
+
+    ``fengine`` / ``bstage`` / ``ct_batch_a`` / ``fengine_rolling``
+    follow :class:`FBEngine`: the default ``"auto"`` resolves to the
+    measured-fastest configuration (fused Pallas F kernel + Pallas
+    corner-turn B-stage) on TPU where the geometry supports it.
     """
 
     def __init__(
@@ -46,11 +60,42 @@ class FXBEngine:
         quant_scale: float = 1.0 / 16.0,
         precision: str = "f32",
         use_pallas: bool | None = None,
+        fengine: str = "auto",
+        bstage: str = "auto",
+        ct_batch_a: bool | str = "auto",
+        fengine_rolling: bool | str = "auto",
+        fengine_interpret: bool = False,
+        beam_quant_scale: float | None = None,
     ) -> None:
+        if fengine not in ("auto", "xla", "fused", "fused_f32"):
+            raise ValueError(f"unknown fengine backend {fengine!r}")
+        if bstage not in ("auto", "planar", "folded", "turned", "fused"):
+            raise ValueError(f"unknown bstage backend {bstage!r}")
+        fengine, bstage, ct_batch_a = resolve_backends(
+            cfg, n_spectra, fengine, bstage, ct_batch_a, fengine_interpret
+        )
+        if fengine_rolling == "auto":
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import rolling_supported
+
+            fengine_rolling = fengine in (
+                "fused",
+                "fused_f32",
+            ) and rolling_supported(cfg.n_channels)
+        self.fengine = fengine
+        self.bstage = bstage
+        self.ct_batch_a = ct_batch_a
+        self.fengine_rolling = bool(fengine_rolling)
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
-        self._coeff_fn = jax.jit(functools.partial(_coeff_blocks, cfg=cfg))
+        self._coeff_fn = jax.jit(
+            functools.partial(
+                _coeff_blocks,
+                cfg=cfg,
+                dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
+                folded=(bstage in ("folded", "turned", "fused")),
+            )
+        )
         self._coeffs = None
         self._coeff_key = None
         self._step = jax.jit(
@@ -62,6 +107,12 @@ class FXBEngine:
                 quant_scale=quant_scale,
                 precision=precision,
                 use_pallas=use_pallas,
+                fengine=fengine,
+                bstage=bstage,
+                ct_batch_a=ct_batch_a,
+                fengine_rolling=self.fengine_rolling,
+                fengine_interpret=fengine_interpret,
+                beam_quant_scale=beam_quant_scale,
             )
         )
 
@@ -94,14 +145,19 @@ class FXBEngine:
         self.set_beam_delays(delay_vals)
         return self._step(adc, coarse_delays, frac_delays, phases, self._coeffs)
 
-    def example_inputs(self, seed: int = 2021, margin: int = 64):
+    def example_inputs(
+        self, seed: int = 2021, margin: int = 64, delay_budget: int | None = None
+    ):
+        """Same contract as :meth:`FBEngine.example_inputs`."""
         rng = np.random.default_rng(seed)
         cfg = self.cfg
         adc = rng.integers(
             -64, 64, size=(cfg.n_ants, cfg.n_pols, self.samples_in + margin),
             dtype=np.int8,
         )
-        cd = rng.integers(0, margin, size=cfg.n_ants).astype(np.int32)
+        if delay_budget is None:
+            delay_budget = margin
+        cd = rng.integers(0, delay_budget, size=cfg.n_ants).astype(np.int32)
         fd = rng.uniform(-0.5, 0.5, cfg.n_ants).astype(np.float32)
         ph = (-np.pi * fd / 2).astype(np.float32)
         dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
@@ -123,32 +179,41 @@ def _fxb_step(
     quant_scale: float,
     precision: str,
     use_pallas: bool | None,
+    fengine: str = "xla",
+    bstage: str = "planar",
+    ct_batch_a: bool = False,
+    fengine_rolling: bool = False,
+    fengine_interpret: bool = False,
+    beam_quant_scale: float | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    # ---- shared F stage ----
-    out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
-    aligned = coarse_delay(adc, coarse_delays, out_len)
-    spectra = pfb_channelise(
-        aligned, window, n_channels=cfg.n_channels, use_pallas=use_pallas
-    )
-    re, im = apply_fine_delay(
-        jnp.real(spectra),
-        jnp.imag(spectra),
-        frac_delays[:, None],
-        phases[:, None],
-        n_channels=cfg.n_channels,
-    )
-    # (re, im) stay separate int8 planes through the handoff (trailing-2
-    # stacks force padded tiled layouts back through the FFT chain; see
-    # benchmarks/fuse_boundary2.py).
-    qr = requantise(re, quant_scale)  # [A, P, S, C] int8
-    qi = requantise(im, quant_scale)
+    # ---- shared F stage (same code path as FBEngine) ----
+    qr, qi = _f_stage(
+        adc,
+        coarse_delays,
+        frac_delays,
+        phases,
+        window=window,
+        cfg=cfg,
+        n_spectra=n_spectra,
+        quant_scale=quant_scale,
+        use_pallas=use_pallas,
+        fengine=fengine,
+        fengine_interpret=fengine_interpret,
+        ct_batch_a=ct_batch_a,
+        fengine_rolling=fengine_rolling,
+    )  # [A, P, S, C] int8 planes
 
-    # ---- B stage ----
-    xr = jnp.transpose(qr, (1, 3, 2, 0))  # [P, C, S, A]
-    xi = jnp.transpose(qi, (1, 3, 2, 0))
-    cos, sin = coeffs
-    beam_re, beam_im = beamform_planes(xr, xi, cos, sin, precision)
-    beams = jnp.stack([beam_re, beam_im], axis=-1)
+    # ---- B stage (same code path as FBEngine) ----
+    beams = _b_stage(
+        qr,
+        qi,
+        coeffs,
+        cfg=cfg,
+        precision=precision,
+        bstage=bstage,
+        fengine_interpret=fengine_interpret,
+        beam_quant_scale=beam_quant_scale,
+    )
 
     # ---- X stage: [C, S, A·P] planes over the same quantised voltages ----
     a, p, s, c = qr.shape

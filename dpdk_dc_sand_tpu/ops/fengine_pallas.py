@@ -822,6 +822,16 @@ def fengine_fused(
     # and beats the per-si schedule (+7% F-only, ROADMAP 2026-08-19).
     default_blk = 8 if ct_batch_a else _S_BLK_MAX
     s_blk = _pick_s_blk(n_spectra, s_blk or default_blk)
+    if ct_pipeline and not (
+        deint == "ct" and ct_batch_a and s_blk >= 4 and s_blk % 2 == 0
+    ):
+        # Loud, like the rolling/coarse gates: a caller flipping the
+        # flag must not silently get the plain schedule.
+        raise ValueError(
+            "ct_pipeline=True needs the direct-CT form with "
+            f"ct_batch_a=True and an even s_blk >= 4 (got deint={deint!r},"
+            f" ct_batch_a={ct_batch_a}, s_blk={s_blk})"
+        )
 
     batch = 1
     for d in lead:

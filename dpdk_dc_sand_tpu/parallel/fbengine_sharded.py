@@ -37,6 +37,7 @@ from jax import shard_map
 
 from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
+from dpdk_dc_sand_tpu.models.fbengine import _coeff_blocks
 from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
 from dpdk_dc_sand_tpu.ops.correlate import correlate_planes
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay
@@ -208,8 +209,12 @@ class ShardedFBEngine:
 
         # Steering planes are regenerated only on delay updates (the
         # 256-accumulation reuse cadence) and enter the step pre-sharded.
+        # Same generator as the single-chip engine (_coeff_blocks →
+        # ops.steering_coeffs): one copy of the rotation math, with the
+        # delay/phase-rate time extrapolation and ?beam-weights folding
+        # (BeamformerKernels.cu:121-189; corr3_servlet.py:140-153).
         self._coeff_fn = jax.jit(
-            functools.partial(_full_band_coeffs, cfg=cfg),
+            functools.partial(_coeff_blocks, cfg=cfg),
             out_shardings=(
                 NamedSharding(mesh, P("time", None, "ant")),
             ) * 2,
@@ -231,6 +236,8 @@ class ShardedFBEngine:
         frac_delays: jax.Array,
         phases: jax.Array,
         delay_vals: jax.Array,
+        ant_weights=None,
+        t_s: float = 0.0,
     ) -> jax.Array:
         """One distributed step.
 
@@ -239,15 +246,28 @@ class ShardedFBEngine:
         Returns ``[n_pols, n_channels, n_spectra, n_beams, 2]`` f32 beams,
         channel-sharded over the "time" mesh axis.
         """
-        self.set_beam_delays(delay_vals)
+        self.set_beam_delays(delay_vals, ant_weights=ant_weights, t_s=t_s)
         cos, sin = self._coeffs
         return self._step(adc, frac_delays, phases, cos, sin)
 
-    def set_beam_delays(self, delay_vals) -> None:
-        """(Re)generate sharded steering planes from delay polynomials."""
-        key = id(delay_vals)
+    def set_beam_delays(self, delay_vals, ant_weights=None, t_s: float = 0.0) -> None:
+        """(Re)generate sharded steering planes from delay polynomials.
+
+        Same contract as :meth:`FBEngine.set_beam_delays`: ``t_s`` seconds
+        past the polynomial epoch extrapolates the solution via the
+        delay/phase rates (traced — advancing time never recompiles);
+        ``ant_weights`` folds per-antenna magnitudes into the planes (the
+        servlet's ``?beam-weights`` fan-out contract)."""
+        key = (id(delay_vals), id(ant_weights), float(t_s))
         if self._coeffs is None or key != self._coeff_key:
-            self._coeffs = self._coeff_fn(jnp.asarray(delay_vals))
+            w = (
+                jnp.ones(self.cfg.n_ants, jnp.float32)
+                if ant_weights is None
+                else jnp.asarray(ant_weights, jnp.float32)
+            )
+            self._coeffs = self._coeff_fn(
+                jnp.asarray(delay_vals), w, jnp.float32(t_s)
+            )
             self._coeff_key = key
 
     def example_inputs(self, seed: int = 2021):
@@ -262,22 +282,6 @@ class ShardedFBEngine:
         dv[..., 0] = rng.uniform(0, 5e-9, dv.shape[:-1])
         dv[..., 2] = rng.uniform(-np.pi, np.pi, dv.shape[:-1])
         return adc, fd, ph, dv
-
-
-def _full_band_coeffs(delay_vals: jax.Array, *, cfg: ArrayConfig):
-    """Steering (cos, sin) ``[C, B, A]`` for the full band.
-
-    Same rotation as ops.steering_coeffs with per-(beam, ant) polynomials
-    broadcast across channels; XLA shards this computation according to the
-    consumer's (shard_map) slicing, so no device materialises the full grid.
-    """
-    dv = delay_vals.astype(jnp.float32)
-    delay = dv[..., 0]  # [B, A]
-    phase = dv[..., 2]
-    chan = jnp.arange(cfg.n_channels, dtype=jnp.float32).reshape(-1, 1, 1)
-    slope = -jnp.pi * delay / (cfg.n_channels * cfg.sample_period)
-    rot = slope * (chan - cfg.n_channels / 2.0) + phase
-    return jnp.cos(rot), jnp.sin(rot)
 
 
 def _sharded_fb_body(

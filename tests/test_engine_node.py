@@ -415,3 +415,49 @@ def test_udp_ingest_to_udp_egress_end_to_end():
             await node.stop()
 
     run(scenario())
+
+
+def test_default_margin_provisions_kernel_coarse_path():
+    """A node built with the default margin must take the in-kernel
+    coarse-delay fast path whenever the fused F kernel runs: the chunk
+    carries delay_budget + dma_slack headroom, satisfying the trace-time
+    gate in models/fbengine._f_stage (adc >= out_len + margin_need). A
+    margin-accounting change that silently dropped the slack would fail
+    here long before a slow step showed up in a benchmark.
+    """
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
+
+    cfg = ArrayConfig(n_ants=4, n_channels=512, n_beams=2, n_taps=4)
+    node = EngineNode(cfg, n_spectra=16, fengine="fused_f32")
+    assert node.fb.fengine == "fused_f32"
+    need = coarse_margin_samples(
+        cfg.fft_size, cfg.n_taps, 16, node.fb.ct_batch_a
+    )
+    assert need is not None and need > 0
+    assert node.dma_slack == need
+    assert node.delay_budget == 64  # the constructor default, unchanged
+    assert node.margin == node.delay_budget + node.dma_slack
+    # The exact condition _f_stage evaluates at trace time:
+    out_len = (16 + cfg.n_taps - 1) * cfg.fft_size
+    assert node.chunk_shape[-1] >= out_len + need
+
+
+def test_delay_model_rejects_out_of_budget_coarse():
+    """?delay-model coarse values beyond the node's budget fail loudly
+    instead of being silently clipped inside the kernel."""
+
+    async def scenario():
+        node = EngineNode(CFG, n_spectra=4, margin=32)
+        await node.start()
+        client = await Client("127.0.0.1", node.port).connect()
+        try:
+            ok = [3.0, 0.0, 0.0, 0.0] * CFG.n_ants
+            await client.request("delay-model", *ok)
+            bad = [500.0, 0.0, 0.0, 0.0] * CFG.n_ants
+            with pytest.raises(FailReply):
+                await client.request("delay-model", *bad)
+        finally:
+            await client.close()
+            await node.stop()
+
+    run(scenario())

@@ -323,3 +323,38 @@ def test_fbengine_turned_bstage_matches_planar():
     want = np.asarray(planar(*inputs))
     got = np.asarray(turned(*inputs))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fxb_fast_backends_match_xla():
+    """FXBEngine with the production fast path (fused F kernel + turned
+    Pallas B-stage) ≡ the portable XLA/planar FXB on identical inputs.
+
+    The full-instrument node must not be locked out of the fast path:
+    one F feeding X and B is the katgpucbf premise (do_merge.sh:4-10).
+    """
+    from dpdk_dc_sand_tpu.models import FXBEngine
+
+    cfg = ArrayConfig(n_ants=4, n_channels=1024, n_beams=4, n_taps=4)
+    ref = FXBEngine(
+        cfg, n_spectra=64, use_pallas=False, fengine="xla", bstage="planar"
+    )
+    fast = FXBEngine(
+        cfg, n_spectra=64, fengine="fused_f32", bstage="turned",
+        fengine_interpret=True,
+    )
+    assert fast.fengine == "fused_f32" and fast.bstage == "turned"
+    adc, cd, fd, ph, dv = ref.example_inputs()
+    wb, wr, wi = ref(adc, cd, fd, ph, dv)
+    gb, gr, gi = fast(adc, cd, fd, ph, dv)
+    # The two F paths round differently (matmul-DFT vs complex FFT), so a
+    # handful of requant ties flip by ±1 int8 code; each flip moves a beam
+    # by ≤ 2·max|w| = 2 and a visibility by ≤ 2·127. Bound by that code
+    # tolerance (the discipline of tests/test_fengine_fused.py) and
+    # require the flips to be rare.
+    db = np.abs(np.asarray(gb) - np.asarray(wb))
+    assert db.max() <= 2.0 + 1e-3
+    assert (db > 1e-3).mean() < 1e-3
+    for got, want in ((gr, wr), (gi, wi)):
+        dv_ = np.abs(np.asarray(got) - np.asarray(want))
+        assert dv_.max() <= 2 * 127 + 1e-3
+        assert (dv_ > 1e-3).mean() < 5e-3

@@ -1,10 +1,13 @@
 """On-hardware test suite — auto-enabled whenever a TPU is reachable.
 
 The main suite forces the CPU backend (tests/conftest.py) so the virtual
-8-device mesh works; these tests exercise the actual TPU. The platform is
-flipped to the TPU backend lazily — by a session fixture scoped to this
-directory, which runs after all CPU-mesh tests (``tests/tpu`` collects
-last) — so a combined ``pytest tests/`` run exercises both backends.
+8-device mesh works; these tests exercise the actual TPU. Standalone
+``pytest tests/tpu`` flips the platform to the TPU backend lazily (the
+session fixture below, before first device use). In a *combined*
+``pytest tests/`` run the already-initialised CPU backend cannot flip,
+so the directory is skipped here with a loud reason and executed in a
+fresh subprocess by ``tests/test_tpu_onchip.py`` instead — one combined
+invocation still exercises the chip.
 
 Gating (``DCSAND_TPU_TESTS``):
 
@@ -20,11 +23,28 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
+    tpu_items = [
+        i
+        for i in items
+        if "tests/tpu" in str(i.fspath).replace("\\", "/")
+    ]
     if os.environ.get("DCSAND_TPU_TESTS") == "0":
         skip = pytest.mark.skip(reason="DCSAND_TPU_TESTS=0")
-        for item in items:
-            if "tests/tpu" in str(item.fspath).replace("\\", "/"):
-                item.add_marker(skip)
+        for item in tpu_items:
+            item.add_marker(skip)
+        return
+    if len(tpu_items) != len(items):
+        # Combined run: the CPU backend the main suite initialises can't
+        # flip to TPU in-process, so these items run in a FRESH
+        # subprocess instead — tests/test_tpu_onchip.py drives them and
+        # fails loudly. Skipping here (with a reason that says so)
+        # avoids double-running and replaces the old silent skip.
+        skip = pytest.mark.skip(
+            reason="combined run: executed in a fresh process by "
+            "tests/test_tpu_onchip.py"
+        )
+        for item in tpu_items:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session", autouse=True)
