@@ -122,14 +122,21 @@ class EngineNode(DeviceServer):
         if getattr(self.fb, "fengine", "xla") in ("fused", "fused_f32"):
             from dpdk_dc_sand_tpu.ops.fengine_pallas import (
                 coarse_margin_samples,
+                ingest_alignment,
             )
 
             slack = coarse_margin_samples(
                 cfg.fft_size, cfg.n_taps, n_spectra, self.fb.ct_batch_a
             )
             if slack is not None:
-                self.dma_slack = slack
-                self.margin = margin = margin + slack
+                # Round the chunk length up to the kernel's ingest
+                # alignment: a misaligned chunk would silently pay a
+                # whole-stream copy per step (ingest_alignment()).
+                align = ingest_alignment(cfg.fft_size) or 1
+                total = margin + slack
+                total += -total % align
+                self.dma_slack = total - margin
+                self.margin = margin = total
         self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
         chunk_bytes = int(np.prod(self.chunk_shape))
         # +16 headroom for the UDP receiver's timestamp/channel metadata

@@ -129,11 +129,14 @@ class FBEngine:
         bstage: str = "auto",
         ct_batch_a: bool | str = "auto",
         fengine_rolling: bool | str = "auto",
+        beam_layout: str = "split",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
         if bstage not in ("auto", "planar", "folded", "turned", "fused"):
             raise ValueError(f"unknown bstage backend {bstage!r}")
+        if beam_layout not in ("split", "natural"):
+            raise ValueError(f"unknown beam_layout {beam_layout!r}")
         fengine, bstage, ct_batch_a = resolve_backends(
             cfg, n_spectra, fengine, bstage, ct_batch_a, fengine_interpret
         )
@@ -187,8 +190,10 @@ class FBEngine:
                 bstage=bstage,
                 ct_batch_a=ct_batch_a,
                 fengine_rolling=self.fengine_rolling,
+                beam_layout=beam_layout,
             )
         )
+        self.beam_layout = beam_layout
 
     @property
     def samples_in(self) -> int:
@@ -433,12 +438,38 @@ def _b_stage(
     bstage: str = "planar",
     fengine_interpret: bool = False,
     beam_quant_scale: float | None = None,
+    beam_layout: str = "split",
 ) -> jax.Array:
     """Shared B stage: corner turn + multi-beam matmul (+ beam requant).
 
-    Consumes the F-stage int8 planes; returns
-    ``[P, C, S, B, 2]`` beams (f32, or int8 when ``beam_quant_scale``).
+    Consumes the F-stage int8 planes; returns ``[P, C, S, B, 2]`` beams
+    (f32, or int8 when ``beam_quant_scale``) — or, with
+    ``beam_layout="natural"``, the dot-natural ``[C, P·S, 2B]`` form
+    with no epilogue (see :func:`ops.beamform.beamform_turned`).
     """
+    if beam_layout == "natural":
+        # Dot-natural output: skip the [C, P·S, 2B] → [P, C, S, B, 2]
+        # split/transpose/stack epilogue entirely (~5 ms/step of pure
+        # layout shuffle at the flagship config). Egress flattens bytes,
+        # so production ships this layout.
+        if bstage == "turned":
+            from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
+
+            x_t = corner_turn_planes(qr, qi, interpret=fengine_interpret)
+            out = beamform_turned(
+                x_t,
+                coeff_blocks,
+                n_pols=cfg.n_pols,
+                precision=precision,
+                layout="natural",
+            )
+        else:
+            raise ValueError(
+                'beam_layout="natural" requires bstage="turned"'
+            )
+        if beam_quant_scale is not None:
+            out = requantise(out, beam_quant_scale)
+        return out
     if bstage == "fused":
         # ---- B-engine fastest path: corner turn + block-diagonal
         # multi-channel dot in ONE Pallas kernel — no [C, 2A, P·S]
@@ -500,6 +531,7 @@ def _fb_step(
     bstage: str = "planar",
     ct_batch_a: bool = False,
     fengine_rolling: bool = False,
+    beam_layout: str = "split",
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -525,4 +557,5 @@ def _fb_step(
         bstage=bstage,
         fengine_interpret=fengine_interpret,
         beam_quant_scale=beam_quant_scale,
+        beam_layout=beam_layout,
     )

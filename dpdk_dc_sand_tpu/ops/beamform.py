@@ -221,13 +221,14 @@ def beamform_folded(
     return out.reshape(*lead, c, t, out.shape[-1] // 2, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("n_pols", "precision"))
+@functools.partial(jax.jit, static_argnames=("n_pols", "precision", "layout"))
 def beamform_turned(
     x_t: jax.Array,
     blocks: jax.Array,
     n_pols: int = 2,
     precision: str = "bf16",
-) -> tuple[jax.Array, jax.Array]:
+    layout: str = "split",
+) -> tuple[jax.Array, jax.Array] | jax.Array:
     """Beamform corner-turned int8 samples with one folded dot per channel.
 
     The fast production B-stage: consumes the Pallas corner-turn output
@@ -243,10 +244,14 @@ def beamform_turned(
     blocks:
         ``[C, 2A, 2B]`` block-concat steering weights
         (:func:`~dpdk_dc_sand_tpu.ops.coeff_gen.steering_coeff_blockcat`).
-
-    Returns
-    -------
-    ``(beam_re, beam_im)`` each ``[P, C, S, B]`` float32.
+    layout:
+        ``"split"``: ``(beam_re, beam_im)`` each ``[P, C, S, B]`` f32.
+        ``"natural"``: the dot's own ``[C, P·S, 2B]`` f32 output
+        (lanes ``m = p·S + s``, columns ``[re beams | im beams]``) with
+        NO epilogue — the split/transpose pair costs ~5 ms/step at the
+        flagship config (benchmarks/turned_stage_split.py) and the
+        downstream consumers (requant + SPEAD egress) are layout-
+        agnostic, so production ships this form.
     """
     c, k2, m = x_t.shape
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -258,6 +263,8 @@ def beamform_turned(
         precision=prec,
         preferred_element_type=jnp.float32,
     )  # [C, P·S, 2B]
+    if layout == "natural":
+        return out
     nb = blocks.shape[-1] // 2
     out = out.reshape(c, n_pols, m // n_pols, 2 * nb)
     beam_re = jnp.transpose(out[..., :nb], (1, 0, 2, 3))

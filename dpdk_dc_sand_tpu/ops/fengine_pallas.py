@@ -179,6 +179,23 @@ def coarse_margin_samples(
     return max(pad, fresh) * n2
 
 
+def ingest_alignment(fft_size: int) -> int | None:
+    """Sample alignment the in-kernel coarse path wants of the ADC length.
+
+    The wrapper views the raw stream as ``[B, n_rows, N2]``; when the
+    stream length is not a multiple of N2 it must slice off the partial
+    trailing row first, and XLA materialises that slice as a COPY of the
+    whole multi-GB stream every step — silently erasing the in-kernel
+    coarse-delay win (found round 3: the full-step bench provisioned
+    ``slack + 16`` and lost ~10 ms/step to exactly this copy while the
+    F-only diagnostic used an aligned margin and showed the win).
+    Provision ``margin`` so ``samples_in + margin`` is a multiple of this
+    value. ``None`` when the direct-CT kernel doesn't apply.
+    """
+    mode, _, n2 = _deint_mode(fft_size // 2)
+    return n2 if mode == "ct" else None
+
+
 def rolling_supported(n_channels: int) -> bool:
     """Whether the rolling bf16 FIR-history ring applies here.
 
@@ -896,6 +913,21 @@ def fengine_fused(
                 raise ValueError(
                     f"in-kernel coarse delay needs >= {need * n2} samples "
                     f"({(need - n_frames * n1) * n2} margin), got {n_in}"
+                )
+            if n_in % n2:
+                # The partial trailing row must be sliced off, and XLA
+                # materialises the slice as a copy of the WHOLE stream
+                # every step (~1.5 GB ≈ 4 ms at the flagship config) —
+                # see ingest_alignment(). Loud, because the copy is
+                # invisible in profiles that only look at the kernel.
+                import warnings
+
+                warnings.warn(
+                    f"ADC stream length {n_in} is not a multiple of "
+                    f"N2={n2}; the pre-kernel slice copies the whole "
+                    "stream each step. Provision margins per "
+                    "ingest_alignment() to make this free.",
+                    stacklevel=2,
                 )
             fr = frames[..., : n_rows_total * n2].reshape(
                 batch, n_rows_total, n2

@@ -425,7 +425,10 @@ def test_default_margin_provisions_kernel_coarse_path():
     margin-accounting change that silently dropped the slack would fail
     here long before a slow step showed up in a benchmark.
     """
-    from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+        coarse_margin_samples,
+        ingest_alignment,
+    )
 
     cfg = ArrayConfig(n_ants=4, n_channels=512, n_beams=2, n_taps=4)
     node = EngineNode(cfg, n_spectra=16, fengine="fused_f32")
@@ -434,12 +437,15 @@ def test_default_margin_provisions_kernel_coarse_path():
         cfg.fft_size, cfg.n_taps, 16, node.fb.ct_batch_a
     )
     assert need is not None and need > 0
-    assert node.dma_slack == need
+    assert node.dma_slack >= need
     assert node.delay_budget == 64  # the constructor default, unchanged
     assert node.margin == node.delay_budget + node.dma_slack
     # The exact condition _f_stage evaluates at trace time:
     out_len = (16 + cfg.n_taps - 1) * cfg.fft_size
     assert node.chunk_shape[-1] >= out_len + need
+    # ...and the chunk length is ingest-aligned, so the kernel wrapper
+    # never pays the whole-stream slice copy (ingest_alignment()).
+    assert node.chunk_shape[-1] % ingest_alignment(cfg.fft_size) == 0
 
 
 def test_delay_model_rejects_out_of_budget_coarse():

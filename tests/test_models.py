@@ -358,3 +358,38 @@ def test_fxb_fast_backends_match_xla():
         dv_ = np.abs(np.asarray(got) - np.asarray(want))
         assert dv_.max() <= 2 * 127 + 1e-3
         assert (dv_ > 1e-3).mean() < 5e-3
+
+
+def test_fbengine_natural_beam_layout_matches_split():
+    """beam_layout="natural" is the same beams in the dot-natural
+    [C, P·S, 2B] form: re-laying it out host-side must reproduce the
+    split [P, C, S, B, 2] output exactly (the production egress ships
+    the natural form and skips the ~5 ms on-device epilogue)."""
+    cfg = ArrayConfig(n_ants=5, n_channels=64, n_beams=3, n_taps=4)
+    kwargs = dict(n_spectra=64, precision="f32", bstage="turned",
+                  fengine_interpret=True)
+    split = FBEngine(cfg, **kwargs)
+    nat = FBEngine(cfg, beam_layout="natural", **kwargs)
+    inputs = split.example_inputs()
+    want = np.asarray(split(*inputs))
+    got = np.asarray(nat(*inputs))
+    c, m, b2 = got.shape
+    assert (c, m, b2) == (cfg.n_channels, cfg.n_pols * 64, 2 * cfg.n_beams)
+    re_im = got.reshape(c, cfg.n_pols, 64, 2, cfg.n_beams)
+    relay = np.stack(
+        [re_im[:, :, :, 0, :], re_im[:, :, :, 1, :]], axis=-1
+    ).transpose(1, 0, 2, 3, 4)
+    np.testing.assert_allclose(relay, want, rtol=1e-6, atol=1e-6)
+
+    # int8 device-quantised natural beams round-trip the same way
+    natq = FBEngine(cfg, beam_layout="natural", beam_quant_scale=0.25,
+                    **kwargs)
+    splitq = FBEngine(cfg, beam_quant_scale=0.25, **kwargs)
+    gq = np.asarray(natq(*inputs))
+    wq = np.asarray(splitq(*inputs))
+    assert gq.dtype == np.int8
+    rq = gq.reshape(c, cfg.n_pols, 64, 2, cfg.n_beams)
+    relayq = np.stack(
+        [rq[:, :, :, 0, :], rq[:, :, :, 1, :]], axis=-1
+    ).transpose(1, 0, 2, 3, 4)
+    np.testing.assert_array_equal(relayq, wq)
