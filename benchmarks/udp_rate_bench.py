@@ -1,8 +1,8 @@
 """UDP transport rate benchmark — the ≥90 Gbps ibverbs target's analog.
 
-Drives ``BurstUdpSender`` → ``BurstUdpReceiver`` flat-out over loopback
-for each kernel engine (sendmmsg / GSO+GRO / io_uring) with full loss
-accounting, mirroring the reference's transport qualification: the
+Drives each transport engine flat-out with full loss accounting —
+sendmmsg / GSO+GRO / io_uring over loopback, and the AF_XDP descriptor-
+ring engine raw-frame over a veth pair, mirroring the reference's transport qualification: the
 ibverbs sample project demonstrates lossless ≥90 Gbps both directions on
 ConnectX-5 hardware (ibverbs_sample_project/README.md:13,
 ibverbs_tx.c:9-10); rates are reported per second from sequence-numbered
@@ -39,16 +39,36 @@ DURATION_S = 3.0
 TARGET_GBPS = 90.0  # the reference's ibverbs result
 
 
-def run_mode(
-    mode: str, duration_s: float = DURATION_S, pace_gbps: float | None = None
-) -> dict | None:
-    ring = ChunkRing(64, CHUNK_BYTES + 64, native=True)
+def _make_pair(mode: str, ring: ChunkRing):
+    """(tx, rx, mtu_payload) for a mode, or None where unsupported.
+
+    Socket engines run over loopback; ``afxdp`` runs raw frames over a
+    dedicated veth pair (host-local routing would shortcut loopback —
+    see stream/udp_xdp.py) with a 3584 B payload so the wire frame fits
+    one UMEM page.
+    """
+    if mode == "afxdp":
+        from dpdk_dc_sand_tpu.stream import udp_xdp
+
+        pair = udp_xdp.veth_pair()
+        if pair is None:
+            return None
+        a, b = pair
+        mtu = 3584
+        try:
+            rx = udp_xdp.XdpReceiver(b, 5002, ring, mtu_payload=mtu)
+            tx = udp_xdp.XdpSender(
+                a, "10.99.0.1", "10.99.0.2", 5002, mtu_payload=mtu
+            )
+        except OSError:
+            udp_xdp.veth_destroy(a)
+            return None
+        return tx, rx, mtu
     try:
         rx = BurstUdpReceiver(
             ("127.0.0.1", 0), ring, mtu_payload=MTU_PAYLOAD, mode=mode
         )
     except OSError:
-        ring.close()
         return None
     try:
         tx = BurstUdpSender(
@@ -56,8 +76,19 @@ def run_mode(
         )
     except OSError:
         rx.stop()
+        return None
+    return tx, rx, MTU_PAYLOAD
+
+
+def run_mode(
+    mode: str, duration_s: float = DURATION_S, pace_gbps: float | None = None
+) -> dict | None:
+    ring = ChunkRing(64, CHUNK_BYTES + 64, native=True)
+    made = _make_pair(mode, ring)
+    if made is None:
         ring.close()
         return None
+    tx, rx, mtu_payload = made
 
     # Consumer: drain the ring at full speed, count delivered heaps.
     delivered = []
@@ -99,9 +130,13 @@ def run_mode(
 
     pkts, tx_bytes = tx.stats()
     st = rx.stats()
-    rx.stop()
     tx.close()
+    rx.stop()
     ring.close()
+    if mode == "afxdp":
+        from dpdk_dc_sand_tpu.stream import udp_xdp
+
+        udp_xdp.veth_destroy()
 
     tx_gbps = tx_bytes * 8 / elapsed / 1e9
     rx_gbps = st["bytes"] * 8 / elapsed / 1e9
@@ -111,7 +146,7 @@ def run_mode(
         "pace_gbps": pace_gbps,
         "duration_s": round(elapsed, 3),
         "chunk_bytes": CHUNK_BYTES,
-        "mtu_payload": MTU_PAYLOAD,
+        "mtu_payload": mtu_payload,
         "chunks_sent": sent,
         "packets_sent": pkts,
         "tx_gbps": round(tx_gbps, 2),
@@ -150,7 +185,7 @@ def main() -> None:
         raise SystemExit("native toolchain unavailable")
     results = []
     lossless = {}
-    for mode in ("burst", "gso", "uring"):
+    for mode in ("burst", "gso", "uring", "afxdp"):
         r = run_mode(mode)
         if r is None:
             print(json.dumps({"mode": mode, "skipped": "unsupported"}))

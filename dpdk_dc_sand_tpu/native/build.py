@@ -18,7 +18,7 @@ from pathlib import Path
 from typing import Optional
 
 _DIR = Path(__file__).resolve().parent
-_SOURCES = ["ringbuffer.cpp", "spead_codec.cpp", "membw.cpp", "udp_burst.cpp"]
+_SOURCES = ["ringbuffer.cpp", "spead_codec.cpp", "membw.cpp", "udp_burst.cpp", "xdp_burst.cpp"]
 _LIB = _DIR / "_dcsand_native.so"
 _LOCK = threading.Lock()
 _CACHED: Optional[ctypes.CDLL] = None
@@ -142,3 +142,15 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.ub_receiver_port.argtypes = [vp]
     lib.ub_receiver_stats.argtypes = [vp] + [ctypes.POINTER(u64)] * 5
     lib.ub_receiver_destroy.argtypes = [vp]
+
+    # AF_XDP engine (xdp_burst.cpp)
+    lib.xsk_sender_create.restype = vp
+    lib.xsk_sender_create.argtypes = [cs, cs, cs, u16, u16, u64]
+    lib.xsk_send_chunk.restype = ctypes.c_longlong
+    lib.xsk_send_chunk.argtypes = [vp, p8, u64, u64, u64, u32]
+    lib.xsk_sender_stats.argtypes = [vp, ctypes.POINTER(u64), ctypes.POINTER(u64)]
+    lib.xsk_sender_destroy.argtypes = [vp]
+    lib.xsk_receiver_create.restype = vp
+    lib.xsk_receiver_create.argtypes = [cs, u16, u64, vp]
+    lib.xsk_receiver_stats.argtypes = [vp] + [ctypes.POINTER(u64)] * 5
+    lib.xsk_receiver_destroy.argtypes = [vp]

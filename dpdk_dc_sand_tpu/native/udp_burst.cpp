@@ -319,11 +319,11 @@ long long send_staged_uring(Sender* s, int count, const std::uint64_t* lens) {
 
 // --------------------------------------------------------------- receiver
 
-struct Receiver {
-  int fd = -1;
-  int mode = kModeBurst;
+// SPEAD-lite heap reassembly into the SPSC ring — shared by the socket
+// receiver below and the AF_XDP receiver (xdp_burst.cpp) via the
+// ub_reasm_* C interface.
+struct Reasm {
   std::uint64_t mtu_payload = 0;
-  std::uint64_t buf_cap = 0;  // per-message receive buffer size
   void* ring = nullptr;
   std::uint64_t slot_bytes = 0;
   // Zero-copy-into-ring assembly: the current heap is built DIRECTLY in
@@ -342,18 +342,26 @@ struct Receiver {
   std::uint16_t cur_n_packets = 0;
   std::uint16_t cur_received = 0;
   std::uint64_t dropped_heap = ~0ull;  // ring-full heap id (count once)
+  std::atomic<std::uint64_t> heaps_done{0};
+  std::atomic<std::uint64_t> ring_drops{0};
+  std::atomic<std::uint64_t> evicted{0};  // incomplete heaps overwritten
+};
+
+struct Receiver {
+  int fd = -1;
+  int mode = kModeBurst;
+  std::uint64_t mtu_payload = 0;
+  std::uint64_t buf_cap = 0;  // per-message receive buffer size
+  Reasm reasm;
   std::uint8_t* pkt_arena = nullptr;
   Uring uring;
   std::thread thread;
   std::atomic<bool> stop{false};
   std::atomic<std::uint64_t> packets{0};
   std::atomic<std::uint64_t> bytes{0};
-  std::atomic<std::uint64_t> heaps_done{0};
-  std::atomic<std::uint64_t> ring_drops{0};
-  std::atomic<std::uint64_t> evicted{0};  // incomplete heaps overwritten
 };
 
-void feed_packet(Receiver* rx, const std::uint8_t* pkt, std::uint64_t len) {
+void feed_packet(Reasm* rx, const std::uint8_t* pkt, std::uint64_t len) {
   std::uint64_t heap_id, timestamp;
   std::uint32_t channel_offset, payload_len, heap_len;
   std::uint16_t packet_idx, n_packets;
@@ -404,14 +412,14 @@ void feed_packet(Receiver* rx, const std::uint8_t* pkt, std::uint64_t len) {
 void feed_buffer(Receiver* rx, const std::uint8_t* buf, std::uint64_t len,
                  std::uint32_t gso_size) {
   if (gso_size == 0 || len <= gso_size) {
-    feed_packet(rx, buf, len);
+    feed_packet(&rx->reasm, buf, len);
     rx->packets.fetch_add(1, std::memory_order_relaxed);
     return;
   }
   std::uint64_t off = 0, n = 0;
   while (off < len) {
     std::uint64_t seg = len - off < gso_size ? len - off : gso_size;
-    feed_packet(rx, buf + off, seg);
+    feed_packet(&rx->reasm, buf + off, seg);
     off += seg;
     ++n;
   }
@@ -690,8 +698,9 @@ void* ub_receiver_create_mode(const char* bind_ip, std::uint16_t port,
   rx->fd = fd;
   rx->mode = mode;
   rx->mtu_payload = mtu_payload;
-  rx->ring = ring;
-  rx->slot_bytes = rb_slot_bytes(ring);
+  rx->reasm.mtu_payload = mtu_payload;
+  rx->reasm.ring = ring;
+  rx->reasm.slot_bytes = rb_slot_bytes(ring);
   // GRO delivers up to 64 KB coalesced buffers; plain modes one packet.
   rx->buf_cap = mode == kModeGso ? (64 << 10)
                                  : sp_header_bytes() + mtu_payload;
@@ -741,10 +750,40 @@ void ub_receiver_stats(void* handle, std::uint64_t* packets,
   if (!rx) return;
   if (packets) *packets = rx->packets.load(std::memory_order_relaxed);
   if (bytes) *bytes = rx->bytes.load(std::memory_order_relaxed);
-  if (heaps) *heaps = rx->heaps_done.load(std::memory_order_relaxed);
-  if (ring_drops) *ring_drops = rx->ring_drops.load(std::memory_order_relaxed);
-  if (evicted) *evicted = rx->evicted.load(std::memory_order_relaxed);
+  if (heaps) *heaps = rx->reasm.heaps_done.load(std::memory_order_relaxed);
+  if (ring_drops)
+    *ring_drops = rx->reasm.ring_drops.load(std::memory_order_relaxed);
+  if (evicted) *evicted = rx->reasm.evicted.load(std::memory_order_relaxed);
 }
+
+// ---------------------------------------------------- shared reassembly
+// Used by the AF_XDP receiver (xdp_burst.cpp): same zero-copy-into-ring
+// SPEAD-lite assembly as the socket receiver.
+
+void* ub_reasm_create(void* ring, std::uint64_t mtu_payload) {
+  if (!ring || mtu_payload == 0) return nullptr;
+  auto* r = new (std::nothrow) Reasm();
+  if (!r) return nullptr;
+  r->mtu_payload = mtu_payload;
+  r->ring = ring;
+  r->slot_bytes = rb_slot_bytes(ring);
+  return r;
+}
+
+void ub_reasm_feed(void* handle, const std::uint8_t* pkt, std::uint64_t len) {
+  feed_packet(static_cast<Reasm*>(handle), pkt, len);
+}
+
+void ub_reasm_stats(void* handle, std::uint64_t* heaps,
+                    std::uint64_t* ring_drops, std::uint64_t* evicted) {
+  auto* r = static_cast<Reasm*>(handle);
+  if (!r) return;
+  if (heaps) *heaps = r->heaps_done.load(std::memory_order_relaxed);
+  if (ring_drops) *ring_drops = r->ring_drops.load(std::memory_order_relaxed);
+  if (evicted) *evicted = r->evicted.load(std::memory_order_relaxed);
+}
+
+void ub_reasm_destroy(void* handle) { delete static_cast<Reasm*>(handle); }
 
 void ub_receiver_destroy(void* handle) {
   auto* rx = static_cast<Receiver*>(handle);
