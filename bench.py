@@ -34,7 +34,8 @@ import time
 ADC_RATE_MSPS = 1712.0  # MeerKAT digitiser, Msamples/s per antenna-pol
 
 
-def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False):
+def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
+          beam_layout="split"):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +43,7 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False):
 
     fb = FBEngine(
         cfg, n_spectra=n_spectra, fengine=fengine, precision="bf16",
-        bstage=bstage, ct_batch_a=ct_batch_a,
+        bstage=bstage, ct_batch_a=ct_batch_a, beam_layout=beam_layout,
     )
     # Enough trailing ADC margin that the engine takes the in-kernel
     # coarse-delay path (DMA row offsets + in-VMEM sub-row shift) instead
@@ -98,9 +99,10 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False):
     return chained, adc_d, fd_d, blocks
 
 
-def measure(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False):
+def measure(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
+            beam_layout="split"):
     chained, adc_d, fd_d, blocks = build(
-        cfg, n_spectra, fengine, bstage, ct_batch_a
+        cfg, n_spectra, fengine, bstage, ct_batch_a, beam_layout
     )
     r2, r6 = chained(2), chained(6)
     float(r2(adc_d, fd_d, blocks))  # compile
@@ -124,24 +126,28 @@ def main() -> None:
     flagship = ArrayConfig(n_ants=80, n_channels=32768, n_beams=16, n_taps=16)
     attempts = [
         # fused F kernel + batch-A stage-A schedule + Pallas corner-turn
-        # B-stage ("turned") is the measured-best config — the 394 GB/s
-        # corner-turn kernel replaces the ~34 GB/s XLA turn that
-        # dominated the F→B handoff (ops/corner_turn.py; commit 90fc548
-        # measured 16.3 Gs/s at S=128 vs 15.9 planar). Fallbacks in
-        # decreasing ambition for OOM/unsupported geometry.
-        (flagship, 128, "fused", True, "turned"),
-        (flagship, 128, "fused", True, "planar"),
-        (flagship, 128, "fused", False, "planar"),
-        (flagship, 64, "fused", False, "planar"),
-        (flagship, 32, "fused", False, "planar"),
-        (flagship, 32, "xla", False, "planar"),
-        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64, "xla", False, "planar"),
-        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla", False, "planar"),
+        # B-stage ("turned") + dot-natural beam layout is the measured-
+        # best config: the 394 GB/s corner-turn kernel replaces the
+        # ~34 GB/s XLA turn (ops/corner_turn.py), and the natural
+        # [C, P·S, 2B] output deletes the ~7 ms split/transpose/stack
+        # epilogue (benchmarks/beam_layout_ab.py, 2026-08-21:
+        # 66.7 ms vs 74.1 split). Fallbacks in decreasing ambition for
+        # OOM/unsupported geometry.
+        (flagship, 128, "fused", True, "turned", "natural"),
+        (flagship, 128, "fused", True, "turned", "split"),
+        (flagship, 128, "fused", True, "planar", "split"),
+        (flagship, 128, "fused", False, "planar", "split"),
+        (flagship, 64, "fused", False, "planar", "split"),
+        (flagship, 32, "fused", False, "planar", "split"),
+        (flagship, 32, "xla", False, "planar", "split"),
+        (ArrayConfig(n_ants=64, n_channels=8192, n_beams=16, n_taps=16), 64, "xla", False, "planar", "split"),
+        (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla", False, "planar", "split"),
     ]
     value, used = None, None
-    for cfg, n_spectra, fengine, batch_a, bstage in attempts:
+    for cfg, n_spectra, fengine, batch_a, bstage, layout in attempts:
         try:
-            value = measure(cfg, n_spectra, fengine, bstage=bstage, ct_batch_a=batch_a)
+            value = measure(cfg, n_spectra, fengine, bstage=bstage,
+                            ct_batch_a=batch_a, beam_layout=layout)
             used = (cfg, n_spectra)
             break
         except Exception as e:  # OOM / unsupported: fall back smaller

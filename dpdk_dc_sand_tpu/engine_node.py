@@ -65,6 +65,7 @@ class EngineNode(DeviceServer):
         fengine: str = "auto",
         beam_quant_scale: float | None = None,
         bstage: str = "auto",
+        beam_layout: str = "split",
         auth_secret: str | None = None,
         coeff_update_steps: int = 256,
         emit_visibilities: bool = False,
@@ -102,6 +103,11 @@ class EngineNode(DeviceServer):
             )
             self._vis_accum = VisibilityAccumulator(vis_accum_steps)
         else:
+            # beam_layout="natural" ships the dot-natural [C, P·S, 2B]
+            # beams (no on-device epilogue, −7 ms/step at the flagship
+            # config — benchmarks/beam_layout_ab.py); egress flattens
+            # bytes, so the SPEAD payload layout is declared by the
+            # heap metadata either way.
             self.fb = FBEngine(
                 cfg,
                 n_spectra=n_spectra,
@@ -109,6 +115,7 @@ class EngineNode(DeviceServer):
                 fengine=fengine,
                 beam_quant_scale=beam_quant_scale,
                 bstage=bstage,
+                beam_layout=beam_layout,
             )
             self._vis_accum = None
         #: The user's coarse-delay budget: ?delay-model coarse values are

@@ -493,11 +493,16 @@ def _fengine_kernel_ct(
       column slices. Same math, same rounding points (the staging write
       is the ``accd`` cast).
     """
+    accb0 = accb1 = None
     if rolling:
-        if batch_a:
+        if batch_a and pipeline:
+            ring_ref, accb0, accb1, sems = rest
+        elif batch_a:
             ring_ref, accb_ref, sems = rest
         else:
             ring_ref, sems = rest
+    elif batch_a and pipeline:
+        accb0, accb1, sems = rest
     elif batch_a:
         accb_ref, sems = rest
     else:
@@ -687,19 +692,25 @@ def _fengine_kernel_ct(
             # long VPU FIR phase with the MXU stages of the other half
             # (the plain schedule serialises them — ROADMAP lever 3).
             # Same ops at the same rounding points, just reordered.
+            # Each half stages into ITS OWN buffer: with one shared
+            # buffer the interleaved half-slices force the scheduler to
+            # reason about slice disjointness across the whole region
+            # and the Mosaic compile detonates (~1030 s, round-2
+            # ROADMAP); two disjoint refs compile like the plain
+            # schedule.
             hb = s_blk // 2
 
-            def fir_half(lo, hi):
+            def fir_half(buf, lo, hi):
                 for si in range(lo, hi):
-                    accb_ref[:, si * n2 : (si + 1) * n2] = fir(si).astype(
-                        accb_ref.dtype
-                    )
+                    buf[:, (si - lo) * n2 : (si - lo + 1) * n2] = fir(
+                        si
+                    ).astype(buf.dtype)
 
-            def tail_half(lo, hi):
+            def tail_half(buf, lo, hi):
                 # stage A dots + twiddle + per-si stage B/epilogue for
                 # the half-block [lo, hi).
                 sl = slice(lo * n2, hi * n2)
-                accd = accb_ref[:, sl]
+                accd = buf[:]
                 ar, ai = dot(d1c, accd), dot(d1s, accd)
                 tr = ar * twc_ref[:, sl] - ai * tws_ref[:, sl]
                 ti = ar * tws_ref[:, sl] + ai * twc_ref[:, sl]
@@ -709,10 +720,10 @@ def _fengine_kernel_ct(
                     re, im = stage_b(trd[:, s2], tid[:, s2])
                     epilogue(si, re, im)
 
-            fir_half(0, hb)
-            tail_half(0, hb)  # MXU-heavy …
-            fir_half(hb, s_blk)  # … overlaps this VPU-heavy staging
-            tail_half(hb, s_blk)
+            fir_half(accb0, 0, hb)
+            tail_half(accb0, 0, hb)  # MXU-heavy …
+            fir_half(accb1, hb, s_blk)  # … overlaps this VPU-heavy staging
+            tail_half(accb1, hb, s_blk)
             return
         for si in range(s_blk):
             accb_ref[:, si * n2 : (si + 1) * n2] = fir(si).astype(
@@ -979,9 +990,19 @@ def fengine_fused(
                 )
             )
         if ct_batch_a:
-            scratch_shapes.append(
-                pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype))
-            )
+            if ct_pipeline:
+                # Two disjoint half-block staging buffers (see the
+                # pipeline branch in _fengine_kernel_ct).
+                scratch_shapes.append(
+                    pltpu.VMEM((n1, (s_blk // 2) * n2), jnp.dtype(dft_dtype))
+                )
+                scratch_shapes.append(
+                    pltpu.VMEM((n1, (s_blk // 2) * n2), jnp.dtype(dft_dtype))
+                )
+            else:
+                scratch_shapes.append(
+                    pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype))
+                )
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
         if scal is None:
             const_specs = [
