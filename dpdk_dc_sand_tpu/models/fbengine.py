@@ -130,6 +130,7 @@ class FBEngine:
         ct_batch_a: bool | str = "auto",
         fengine_rolling: bool | str = "auto",
         beam_layout: str = "split",
+        fengine_pipeline: bool | str = "auto",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -151,10 +152,26 @@ class FBEngine:
                 "fused",
                 "fused_f32",
             ) and rolling_supported(cfg.n_channels)
+        if fengine_pipeline == "auto":
+            # The software-pipelined half-block batch-A schedule
+            # (fengine_pallas ct_pipeline): 54.0 -> 51.4 ms F-only at the
+            # flagship config, and since the two-buffer reformulation
+            # (2026-08-21) its Mosaic compile is ~83 s — in line with the
+            # plain schedule — so it is the default wherever it applies.
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+                pipeline_supported,
+            )
+
+            fengine_pipeline = (
+                fengine in ("fused", "fused_f32")
+                and ct_batch_a
+                and pipeline_supported(n_spectra, cfg.n_channels)
+            )
         self.fengine = fengine
         self.bstage = bstage
         self.ct_batch_a = ct_batch_a
         self.fengine_rolling = bool(fengine_rolling)
+        self.fengine_pipeline = bool(fengine_pipeline)
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -191,6 +208,7 @@ class FBEngine:
                 ct_batch_a=ct_batch_a,
                 fengine_rolling=self.fengine_rolling,
                 beam_layout=beam_layout,
+                fengine_pipeline=self.fengine_pipeline,
             )
         )
         self.beam_layout = beam_layout
@@ -348,6 +366,7 @@ def _f_stage(
     fengine_interpret: bool = False,
     ct_batch_a: bool = False,
     fengine_rolling: bool = False,
+    fengine_pipeline: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared F stage: coarse delay + PFB + fine delay + requantise.
 
@@ -376,6 +395,7 @@ def _f_stage(
             interpret=fengine_interpret,
             ct_batch_a=ct_batch_a,
             rolling=fengine_rolling,
+            ct_pipeline=fengine_pipeline,
         )
         margin_need = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a
@@ -532,6 +552,7 @@ def _fb_step(
     ct_batch_a: bool = False,
     fengine_rolling: bool = False,
     beam_layout: str = "split",
+    fengine_pipeline: bool = False,
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -547,6 +568,7 @@ def _fb_step(
         fengine_interpret=fengine_interpret,
         ct_batch_a=ct_batch_a,
         fengine_rolling=fengine_rolling,
+        fengine_pipeline=fengine_pipeline,
     )
     return _b_stage(
         qr,

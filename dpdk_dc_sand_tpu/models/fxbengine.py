@@ -66,6 +66,7 @@ class FXBEngine:
         fengine_rolling: bool | str = "auto",
         fengine_interpret: bool = False,
         beam_quant_scale: float | None = None,
+        fengine_pipeline: bool = False,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -85,6 +86,7 @@ class FXBEngine:
         self.bstage = bstage
         self.ct_batch_a = ct_batch_a
         self.fengine_rolling = bool(fengine_rolling)
+        self.fengine_pipeline = bool(fengine_pipeline)
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -113,6 +115,7 @@ class FXBEngine:
                 fengine_rolling=self.fengine_rolling,
                 fengine_interpret=fengine_interpret,
                 beam_quant_scale=beam_quant_scale,
+                fengine_pipeline=self.fengine_pipeline,
             )
         )
 
@@ -185,6 +188,7 @@ def _fxb_step(
     fengine_rolling: bool = False,
     fengine_interpret: bool = False,
     beam_quant_scale: float | None = None,
+    fengine_pipeline: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     # ---- shared F stage (same code path as FBEngine) ----
     qr, qi = _f_stage(
@@ -201,6 +205,7 @@ def _fxb_step(
         fengine_interpret=fengine_interpret,
         ct_batch_a=ct_batch_a,
         fengine_rolling=fengine_rolling,
+        fengine_pipeline=fengine_pipeline,
     )  # [A, P, S, C] int8 planes
 
     # ---- B stage (same code path as FBEngine) ----

@@ -196,6 +196,15 @@ def ingest_alignment(fft_size: int) -> int | None:
     return n2 if mode == "ct" else None
 
 
+def pipeline_supported(n_spectra: int, n_channels: int) -> bool:
+    """Whether the software-pipelined batch-A schedule applies here
+    (direct-CT form with an even default s_blk >= 4)."""
+    if _deint_mode(n_channels)[0] != "ct":
+        return False
+    s_blk = _pick_s_blk(n_spectra, 8)
+    return s_blk >= 4 and s_blk % 2 == 0
+
+
 def rolling_supported(n_channels: int) -> bool:
     """Whether the rolling bf16 FIR-history ring applies here.
 
