@@ -113,6 +113,9 @@ def make_ct(mode, c_blk, s_chunk, S):
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",) * 3,
+                # Wide c_blk tiles (bigger DMA segments) need headroom
+                # past the 16 MB scoped-VMEM default.
+                vmem_limit_bytes=100 << 20,
             ),
         )(qr, qi)
 
