@@ -75,6 +75,7 @@ class ShardedFBEngine:
         emit_planes: bool = False,
         ct_batch_a: bool | str = "auto",
         fengine_rolling: bool | str = "auto",
+        fengine_pipeline: bool | str = "auto",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -138,10 +139,26 @@ class ShardedFBEngine:
                 "fused",
                 "fused_f32",
             ) and rolling_supported(cfg.n_channels)
+        if fengine_pipeline == "auto":
+            # Same measured default as the single-chip engine (51.4 vs
+            # 54.0 ms F-only; sane compile since the two-buffer
+            # reformulation) — resolved against the PER-SHARD spectra.
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+                pipeline_supported,
+            )
+
+            fengine_pipeline = (
+                fengine in ("fused", "fused_f32")
+                and bool(ct_batch_a)
+                and pipeline_supported(
+                    n_spectra // max(time_size, 1), cfg.n_channels
+                )
+            )
         self.fengine = fengine
         self.bstage = bstage
         self.ct_batch_a = bool(ct_batch_a)
         self.fengine_rolling = bool(fengine_rolling)
+        self.fengine_pipeline = bool(fengine_pipeline)
         if cfg.n_ants % ant_size:
             raise ValueError("n_ants must divide the ant mesh axis")
         if cfg.n_channels % time_size or n_spectra % time_size:
@@ -178,6 +195,7 @@ class ShardedFBEngine:
             emit_planes=emit_planes,
             ct_batch_a=self.ct_batch_a,
             fengine_rolling=self.fengine_rolling,
+            fengine_pipeline=self.fengine_pipeline,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
@@ -306,6 +324,7 @@ def _sharded_fb_body(
     emit_planes: bool = False,
     ct_batch_a: bool = False,
     fengine_rolling: bool = False,
+    fengine_pipeline: bool = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -333,6 +352,7 @@ def _sharded_fb_body(
             interpret=fengine_interpret,
             ct_batch_a=ct_batch_a,
             rolling=fengine_rolling,
+            ct_pipeline=fengine_pipeline,
         )  # [A_loc, P, S_loc, C] int8 planes
     else:
         spectra = pfb_channelise(
