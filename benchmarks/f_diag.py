@@ -48,6 +48,11 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
         pipeline=True,
     ),
+    # 4-way sub-block rotation (deeper VPU/MXU interleave)
+    "pipe4rollck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=4,
+    ),
 }
 
 

@@ -502,16 +502,17 @@ def _fengine_kernel_ct(
       column slices. Same math, same rounding points (the staging write
       is the ``accd`` cast).
     """
-    accb0 = accb1 = None
+    kway = (2 if pipeline is True else int(pipeline)) if pipeline else 0
+    accbs = ()
     if rolling:
-        if batch_a and pipeline:
-            ring_ref, accb0, accb1, sems = rest
+        if batch_a and kway:
+            ring_ref, *accbs, sems = rest
         elif batch_a:
             ring_ref, accb_ref, sems = rest
         else:
             ring_ref, sems = rest
-    elif batch_a and pipeline:
-        accb0, accb1, sems = rest
+    elif batch_a and kway:
+        *accbs, sems = rest
     elif batch_a:
         accb_ref, sems = rest
     else:
@@ -695,7 +696,7 @@ def _fengine_kernel_ct(
         return yr[:h] - yi[h:], yi[:h] + yr[h:]
 
     if batch_a:
-        if pipeline and s_blk >= 4 and s_blk % 2 == 0:
+        if kway and s_blk >= 2 * kway and s_blk % kway == 0:
             # Software-pipelined halves: issue half 0's stage-A dots
             # before half 1's FIR staging, so Mosaic can overlap the
             # long VPU FIR phase with the MXU stages of the other half
@@ -707,17 +708,17 @@ def _fengine_kernel_ct(
             # and the Mosaic compile detonates (~1030 s, round-2
             # ROADMAP); two disjoint refs compile like the plain
             # schedule.
-            hb = s_blk // 2
+            per = s_blk // kway
 
-            def fir_half(buf, lo, hi):
+            def fir_chunk(buf, lo, hi):
                 for si in range(lo, hi):
                     buf[:, (si - lo) * n2 : (si - lo + 1) * n2] = fir(
                         si
                     ).astype(buf.dtype)
 
-            def tail_half(buf, lo, hi):
+            def tail_chunk(buf, lo, hi):
                 # stage A dots + twiddle + per-si stage B/epilogue for
-                # the half-block [lo, hi).
+                # the sub-block [lo, hi).
                 sl = slice(lo * n2, hi * n2)
                 accd = buf[:]
                 ar, ai = dot(d1c, accd), dot(d1s, accd)
@@ -729,10 +730,11 @@ def _fengine_kernel_ct(
                     re, im = stage_b(trd[:, s2], tid[:, s2])
                     epilogue(si, re, im)
 
-            fir_half(accb0, 0, hb)
-            tail_half(accb0, 0, hb)  # MXU-heavy …
-            fir_half(accb1, hb, s_blk)  # … overlaps this VPU-heavy staging
-            tail_half(accb1, hb, s_blk)
+            # Rotated k-way schedule: chunk j's MXU-heavy tail overlaps
+            # chunk j+1's VPU-heavy FIR staging in hardware issue order.
+            for j in range(kway):
+                fir_chunk(accbs[j], j * per, (j + 1) * per)
+                tail_chunk(accbs[j], j * per, (j + 1) * per)
             return
         for si in range(s_blk):
             accb_ref[:, si * n2 : (si + 1) * n2] = fir(si).astype(
@@ -859,15 +861,20 @@ def fengine_fused(
     # and beats the per-si schedule (+7% F-only, ROADMAP 2026-08-19).
     default_blk = 8 if ct_batch_a else _S_BLK_MAX
     s_blk = _pick_s_blk(n_spectra, s_blk or default_blk)
-    if ct_pipeline and not (
-        deint == "ct" and ct_batch_a and s_blk >= 4 and s_blk % 2 == 0
+    pipe_k = (2 if ct_pipeline is True else int(ct_pipeline)) if ct_pipeline else 0
+    if pipe_k and not (
+        deint == "ct"
+        and ct_batch_a
+        and s_blk >= 2 * pipe_k
+        and s_blk % pipe_k == 0
     ):
         # Loud, like the rolling/coarse gates: a caller flipping the
         # flag must not silently get the plain schedule.
         raise ValueError(
-            "ct_pipeline=True needs the direct-CT form with "
-            f"ct_batch_a=True and an even s_blk >= 4 (got deint={deint!r},"
-            f" ct_batch_a={ct_batch_a}, s_blk={s_blk})"
+            "ct_pipeline needs the direct-CT form with ct_batch_a=True "
+            f"and s_blk a multiple of k={pipe_k} with >= 2 spectra per "
+            f"chunk (got deint={deint!r}, ct_batch_a={ct_batch_a}, "
+            f"s_blk={s_blk})"
         )
 
     batch = 1
@@ -999,15 +1006,17 @@ def fengine_fused(
                 )
             )
         if ct_batch_a:
-            if ct_pipeline:
-                # Two disjoint half-block staging buffers (see the
-                # pipeline branch in _fengine_kernel_ct).
-                scratch_shapes.append(
-                    pltpu.VMEM((n1, (s_blk // 2) * n2), jnp.dtype(dft_dtype))
-                )
-                scratch_shapes.append(
-                    pltpu.VMEM((n1, (s_blk // 2) * n2), jnp.dtype(dft_dtype))
-                )
+            if pipe_k:
+                # k disjoint sub-block staging buffers (see the pipeline
+                # branch in _fengine_kernel_ct; disjoint refs keep the
+                # Mosaic schedule sane).
+                for _ in range(pipe_k):
+                    scratch_shapes.append(
+                        pltpu.VMEM(
+                            (n1, (s_blk // pipe_k) * n2),
+                            jnp.dtype(dft_dtype),
+                        )
+                    )
             else:
                 scratch_shapes.append(
                     pltpu.VMEM((n1, s_blk * n2), jnp.dtype(dft_dtype))
