@@ -114,6 +114,17 @@ class FBEngine:
         reference's B-engine feeds 1 KiB 8-bit SPEAD heaps,
         test_parameters.py:22-25); ``None`` keeps f32 beams
         (matrix_multiply.py:34-35 contract).
+    beam_layout:
+        ``"split"`` (default): ``[P, C, S, B, 2]`` beams. ``"natural"``:
+        the dot-natural ``[C, P·S, 2B]`` form with no on-device
+        epilogue (−7.4 ms/step at the flagship config, the bench
+        default — benchmarks/beam_layout_ab.py); requires
+        ``bstage="turned"``.
+    fengine_pipeline:
+        Software-pipelined k-way sub-block F schedule (``"auto"``
+        resolves on for fused+batch-A where supported; an int selects
+        the chunk count, ``True`` = 2) — see ops/fengine_pallas
+        ``ct_pipeline``.
     """
 
     def __init__(
@@ -159,19 +170,19 @@ class FBEngine:
             # (2026-08-21) its Mosaic compile is ~83 s — in line with the
             # plain schedule — so it is the default wherever it applies.
             from dpdk_dc_sand_tpu.ops.fengine_pallas import (
-                pipeline_supported,
+                pipeline_auto_k,
             )
 
             fengine_pipeline = (
-                fengine in ("fused", "fused_f32")
-                and ct_batch_a
-                and pipeline_supported(n_spectra, cfg.n_channels)
+                pipeline_auto_k(n_spectra, cfg.n_channels)
+                if fengine in ("fused", "fused_f32") and ct_batch_a
+                else 0
             )
         self.fengine = fengine
         self.bstage = bstage
         self.ct_batch_a = ct_batch_a
         self.fengine_rolling = bool(fengine_rolling)
-        self.fengine_pipeline = bool(fengine_pipeline)
+        self.fengine_pipeline = int(fengine_pipeline)
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))

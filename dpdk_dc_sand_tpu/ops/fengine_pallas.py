@@ -199,10 +199,20 @@ def ingest_alignment(fft_size: int) -> int | None:
 def pipeline_supported(n_spectra: int, n_channels: int) -> bool:
     """Whether the software-pipelined batch-A schedule applies here
     (direct-CT form with an even default s_blk >= 4)."""
+    return pipeline_auto_k(n_spectra, n_channels) >= 2
+
+
+def pipeline_auto_k(n_spectra: int, n_channels: int) -> int:
+    """Measured-best sub-block count for the pipelined schedule (0 = not
+    supported). 4-way beats 2-way at the flagship config (49.1 vs
+    50.8 ms F-only, f_diag.py pipe4rollck/piperollck 2026-08-21)."""
     if _deint_mode(n_channels)[0] != "ct":
-        return False
+        return 0
     s_blk = _pick_s_blk(n_spectra, 8)
-    return s_blk >= 4 and s_blk % 2 == 0
+    for k in (4, 2):
+        if s_blk >= 2 * k and s_blk % k == 0:
+            return k
+    return 0
 
 
 def rolling_supported(n_channels: int) -> bool:

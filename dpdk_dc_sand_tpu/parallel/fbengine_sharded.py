@@ -144,21 +144,21 @@ class ShardedFBEngine:
             # 54.0 ms F-only; sane compile since the two-buffer
             # reformulation) — resolved against the PER-SHARD spectra.
             from dpdk_dc_sand_tpu.ops.fengine_pallas import (
-                pipeline_supported,
+                pipeline_auto_k,
             )
 
             fengine_pipeline = (
-                fengine in ("fused", "fused_f32")
-                and bool(ct_batch_a)
-                and pipeline_supported(
+                pipeline_auto_k(
                     n_spectra // max(time_size, 1), cfg.n_channels
                 )
+                if fengine in ("fused", "fused_f32") and bool(ct_batch_a)
+                else 0
             )
         self.fengine = fengine
         self.bstage = bstage
         self.ct_batch_a = bool(ct_batch_a)
         self.fengine_rolling = bool(fengine_rolling)
-        self.fengine_pipeline = bool(fengine_pipeline)
+        self.fengine_pipeline = int(fengine_pipeline)
         if cfg.n_ants % ant_size:
             raise ValueError("n_ants must divide the ant mesh axis")
         if cfg.n_channels % time_size or n_spectra % time_size:
