@@ -53,6 +53,11 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
         pipeline=4,
     ),
+    # wider block, 8-way rotation (needs the raised VMEM cap)
+    "pipe8s16rollck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96,
+    ),
 }
 
 
@@ -96,6 +101,7 @@ def run(S, name):
                 coarse_delays=cd, n_spectra=S,
                 rolling=v.get("rolling", False),
                 ct_pipeline=v.get("pipeline", False),
+                vmem_limit_mb=v.get("vmem_mb"),
             )
         else:
             if coarse == "xla":
@@ -111,6 +117,7 @@ def run(S, name):
                 ct_batch_a=v["batch_a"], s_blk=v["s_blk"],
                 rolling=v.get("rolling", False),
                 ct_pipeline=v.get("pipeline", False),
+                vmem_limit_mb=v.get("vmem_mb"),
             )
         return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()
 
