@@ -111,6 +111,15 @@ def run_mode(
     payload = np.random.default_rng(1).integers(
         0, 255, size=CHUNK_BYTES, dtype=np.uint8
     )
+    # Warmup outside the timed window: settles one-time path state (XDP
+    # program attach, ARP/neigh, socket buffers) so first-chunk losses
+    # don't poison the loss accounting; the post-warmup stats are the
+    # baseline.
+    tx.send_chunk(Chunk(payload=payload, seq=1 << 40, timestamp=0,
+                        channel_offset=0))
+    time.sleep(0.25)
+    st0 = rx.stats()
+    _, tx_bytes0 = tx.stats()
     chunk_s = CHUNK_BYTES * 8 / (pace_gbps * 1e9) if pace_gbps else 0.0
     sent = 0
     t0 = time.perf_counter()
@@ -129,7 +138,9 @@ def run_mode(
     t.join()
 
     pkts, tx_bytes = tx.stats()
+    tx_bytes -= tx_bytes0
     st = rx.stats()
+    st = {k: v - st0.get(k, 0) for k, v in st.items()}
     tx.close()
     rx.stop()
     ring.close()
@@ -200,8 +211,19 @@ def main() -> None:
     best_ll = max(
         lossless.values(), key=lambda r: r["rx_gbps"], default=None
     )
+    notes = {}
+    for r in results:
+        if r["mode"] not in lossless:
+            notes[r["mode"]] = (
+                "no zero-loss paced rate found: on this 2-CPU host the "
+                "copy-mode data path (generic-XDP softirq for afxdp) is "
+                "CPU-bound and drops percent-level under any sustained "
+                "chunk burst; real NICs with zero-copy binds and "
+                "dedicated cores are the deployment target"
+            )
     artifact = {
-        "transport": "kernel UDP loopback (no NIC hardware in this env)",
+        "transport": "kernel UDP loopback + AF_XDP-over-veth "
+        "(no NIC hardware in this env)",
         "reference_target_gbps": TARGET_GBPS,
         "reference_source": "ibverbs_sample_project/README.md:13 "
         "(lossless >=90 Gbps, ConnectX-5)",
@@ -210,6 +232,7 @@ def main() -> None:
         "best_lossless": best_ll,
         "blast": results,
         "lossless": lossless,
+        "notes": notes,
     }
     out = os.path.join(os.path.dirname(__file__), "UDP_RATE.json")
     with open(out, "w") as f:
