@@ -23,6 +23,11 @@ VARIANTS = {
     "split_f32": dict(beam_layout="split", beam_quant_scale=None),
     "nat_f32": dict(beam_layout="natural", beam_quant_scale=None),
     "nat_i8": dict(beam_layout="natural", beam_quant_scale=0.25),
+    # one-kernel corner turn + block-diagonal dot, packed wire format
+    # (no HBM x_t round-trip, no unpack epilogue)
+    "natf_f32": dict(
+        beam_layout="natural", beam_quant_scale=None, bstage="fused"
+    ),
 }
 
 

@@ -480,7 +480,7 @@ def _b_stage(
     """
     if beam_layout == "natural":
         # Dot-natural output: skip the [C, P·S, 2B] → [P, C, S, B, 2]
-        # split/transpose/stack epilogue entirely (~5 ms/step of pure
+        # split/transpose/stack epilogue entirely (~7 ms/step of pure
         # layout shuffle at the flagship config). Egress flattens bytes,
         # so production ships this layout.
         if bstage == "turned":
@@ -494,9 +494,21 @@ def _b_stage(
                 precision=precision,
                 layout="natural",
             )
+        elif bstage == "fused":
+            # One-kernel corner turn + block-diagonal dot, packed
+            # [C/pack, P·S, pack·2B] wire format (no unpack epilogue).
+            from dpdk_dc_sand_tpu.ops.bstage_pallas import (
+                beamform_turned_fused,
+            )
+
+            out = beamform_turned_fused(
+                qr, qi, coeff_blocks, n_pols=cfg.n_pols,
+                precision=precision, interpret=fengine_interpret,
+                layout="packed",
+            )
         else:
             raise ValueError(
-                'beam_layout="natural" requires bstage="turned"'
+                'beam_layout="natural" requires bstage "turned" or "fused"'
             )
         if beam_quant_scale is not None:
             out = requantise(out, beam_quant_scale)

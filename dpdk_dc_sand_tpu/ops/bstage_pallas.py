@@ -111,7 +111,7 @@ def _kernel(qr_ref, qi_ref, w_ref, out_ref, *, a, p, s, c_blk, pack, nb2, dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_pols", "precision", "interpret")
+    jax.jit, static_argnames=("n_pols", "precision", "interpret", "layout")
 )
 def beamform_turned_fused(
     qr: jax.Array,
@@ -120,7 +120,8 @@ def beamform_turned_fused(
     n_pols: int = 2,
     precision: str = "bf16",
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    layout: str = "split",
+) -> tuple[jax.Array, jax.Array] | jax.Array:
     """Corner turn + beamform in one Pallas kernel.
 
     Parameters
@@ -134,8 +135,14 @@ def beamform_turned_fused(
 
     Returns
     -------
-    ``(beam_re, beam_im)`` each ``[P, C, S, B]`` float32 — identical
-    contract to :func:`~dpdk_dc_sand_tpu.ops.beamform.beamform_turned`.
+    ``layout="split"``: ``(beam_re, beam_im)`` each ``[P, C, S, B]``
+    float32 — identical contract to
+    :func:`~dpdk_dc_sand_tpu.ops.beamform.beamform_turned`.
+    ``layout="packed"``: the kernel's own ``[C/pack, P·S, pack·2B]``
+    f32 output with NO unpack epilogue — lanes hold ``pack`` adjacent
+    channels' ``[re beams | im beams]`` column groups (the
+    block-diagonal fold's natural wire format; egress flattens bytes
+    and declares layout in heap metadata).
     """
     a, p, s, c = qr.shape
     assert qi.shape == qr.shape and p == n_pols
@@ -176,6 +183,8 @@ def beamform_turned_fused(
         interpret=interpret,
     )(qr, qi, blocks)
 
+    if layout == "packed":
+        return packed
     # Unpack [C/pack, P·S, pack·2B] -> beam planes [P, C, S, B]: one
     # fused XLA transpose (the canonical-layout epilogue cost).
     x = packed.reshape(c // pack, p, s, pack, 2, nb)

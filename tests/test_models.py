@@ -393,3 +393,23 @@ def test_fbengine_natural_beam_layout_matches_split():
         [rq[:, :, :, 0, :], rq[:, :, :, 1, :]], axis=-1
     ).transpose(1, 0, 2, 3, 4)
     np.testing.assert_array_equal(relayq, wq)
+
+
+def test_fbengine_packed_fused_beam_layout_matches_split():
+    """beam_layout="natural" over bstage="fused": the one-kernel packed
+    [C/pack, P·S, pack·2B] wire format re-laid out host-side equals the
+    split beams."""
+    cfg = ArrayConfig(n_ants=4, n_channels=512, n_beams=4, n_taps=4)
+    kwargs = dict(n_spectra=64, precision="f32", fengine_interpret=True)
+    split = FBEngine(cfg, bstage="fused", **kwargs)
+    packed = FBEngine(cfg, bstage="fused", beam_layout="natural", **kwargs)
+    inputs = split.example_inputs()
+    want = np.asarray(split(*inputs))  # [P, C, S, B, 2]
+    got = np.asarray(packed(*inputs))
+    c, p, s, nb = cfg.n_channels, cfg.n_pols, 64, cfg.n_beams
+    pack = 128 // (2 * nb)
+    assert got.shape == (c // pack, p * s, pack * 2 * nb)
+    x = got.reshape(c // pack, p, s, pack, 2, nb)
+    relay = np.transpose(x, (1, 0, 3, 2, 4, 5)).reshape(p, c, s, 2, nb)
+    relay = np.stack([relay[..., 0, :], relay[..., 1, :]], axis=-1)
+    np.testing.assert_allclose(relay, want, rtol=1e-6, atol=1e-6)

@@ -319,3 +319,48 @@ def test_kernel_coarse_rolling_matches_xla_coarse_on_tpu():
     err = float(jnp.max(jnp.abs(want_kernel - got_xla)))
     scale = float(jnp.max(jnp.abs(got_xla)))
     assert err <= 1e-4 * max(1.0, scale), (err, scale)
+
+
+def test_natural_beam_layout_matches_split_on_tpu():
+    """beam_layout="natural" (the production/bench path) on the real
+    chip: the dot-natural [C, P·S, 2B] output re-laid out host-side must
+    match the split [P, C, S, B, 2] form (round-3 epilogue deletion)."""
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.models import FBEngine
+
+    cfg = ArrayConfig(n_ants=4, n_channels=1024, n_beams=4, n_taps=4)
+    kwargs = dict(n_spectra=64, precision="f32", bstage="turned")
+    split = FBEngine(cfg, **kwargs)
+    nat = FBEngine(cfg, beam_layout="natural", **kwargs)
+    assert nat.fengine_pipeline >= 2  # round-3 default schedule active
+    adc, cd, fd, ph, dv = split.example_inputs()
+    want = split(adc, cd, fd, ph, dv)
+    got = nat(adc, cd, fd, ph, dv)
+    c, m, b2 = got.shape
+    assert (c, m, b2) == (1024, 2 * 64, 8)
+    re_im = got.reshape(c, 2, 64, 2, 4)
+    relay = jnp.stack(
+        [re_im[:, :, :, 0, :], re_im[:, :, :, 1, :]], axis=-1
+    ).transpose(1, 0, 2, 3, 4)
+    # device-side comparison (never pull the arrays)
+    diff = jnp.abs(relay - want).max()
+    assert float(diff) < 1e-4
+
+
+def test_fxb_fast_path_on_tpu():
+    """Full-instrument FXB (one F feeding X and B) on the fused fast
+    path, on the real chip: beams finite + visibilities Hermitian."""
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.models import FXBEngine
+
+    cfg = ArrayConfig(n_ants=4, n_channels=1024, n_beams=4, n_taps=4)
+    fxb = FXBEngine(cfg, n_spectra=64, fengine="fused", bstage="turned")
+    adc, cd, fd, ph, dv = fxb.example_inputs()
+    beams, vre, vim = fxb(adc, cd, fd, ph, dv)
+    assert bool(jnp.isfinite(beams).all())
+    assert bool(jnp.isfinite(vre).all())
+    # Hermitian: vis[c] = X X^H  =>  re symmetric, im antisymmetric.
+    assert float(jnp.abs(vre - jnp.swapaxes(vre, 1, 2)).max()) < 1e-3
+    assert float(jnp.abs(vim + jnp.swapaxes(vim, 1, 2)).max()) < 1e-3
