@@ -133,6 +133,7 @@ def main() -> None:
         # epilogue (benchmarks/beam_layout_ab.py, 2026-08-21:
         # 66.7 ms vs 74.1 split). Fallbacks in decreasing ambition for
         # OOM/unsupported geometry.
+        (flagship, 128, "fused", True, "fused", "natural"),
         (flagship, 128, "fused", True, "turned", "natural"),
         (flagship, 128, "fused", True, "turned", "split"),
         (flagship, 128, "fused", True, "planar", "split"),

@@ -37,6 +37,7 @@ def resolve_backends(
     bstage: str,
     ct_batch_a,
     interpret: bool = False,
+    beam_layout: str = "split",
 ) -> tuple[str, str, bool]:
     """Resolve ``"auto"`` backend selections to concrete backends.
 
@@ -66,17 +67,23 @@ def resolve_backends(
             else "xla"
         )
     if bstage == "auto":
-        # "turned" measured faster than the one-kernel "fused" B at the
-        # flagship config (82.7 vs 84.6 ms full step — the block-diagonal
-        # VMEM build outweighs the saved HBM round-trip;
-        # benchmarks/turned_stage_split.py bf stage, 2026-08-20).
-        if pallas_ok and corner_turn_supported(
-            cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_channels
-        ):
-            bstage = "turned"
-        elif pallas_ok and bstage_fused_supported(
+        # Split layout: "turned" measured faster than the one-kernel
+        # "fused" B (82.7 vs 84.6 ms full step — the block-diagonal VMEM
+        # build outweighs the saved HBM round-trip, 2026-08-20). Natural
+        # layout: the ordering FLIPS — with both unpack epilogues gone,
+        # the one-kernel form wins (60.5 vs 62.3 ms same-run,
+        # benchmarks/beam_layout_ab.py natf_f32/nat_f32, 2026-08-21).
+        fused_ok = pallas_ok and bstage_fused_supported(
             cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_beams, cfg.n_channels
-        ):
+        )
+        turned_ok = pallas_ok and corner_turn_supported(
+            cfg.n_ants, cfg.n_pols, n_spectra, cfg.n_channels
+        )
+        if beam_layout == "natural" and fused_ok:
+            bstage = "fused"
+        elif turned_ok:
+            bstage = "turned"
+        elif fused_ok:
             bstage = "fused"
         else:
             bstage = "planar"
@@ -150,7 +157,8 @@ class FBEngine:
         if beam_layout not in ("split", "natural"):
             raise ValueError(f"unknown beam_layout {beam_layout!r}")
         fengine, bstage, ct_batch_a = resolve_backends(
-            cfg, n_spectra, fengine, bstage, ct_batch_a, fengine_interpret
+            cfg, n_spectra, fengine, bstage, ct_batch_a, fengine_interpret,
+            beam_layout,
         )
         if fengine_rolling == "auto":
             # The bf16 FIR-history ring deletes the sliding window's
