@@ -133,6 +133,10 @@ def main() -> None:
         # epilogue (benchmarks/beam_layout_ab.py, 2026-08-21:
         # 66.7 ms vs 74.1 split). Fallbacks in decreasing ambition for
         # OOM/unsupported geometry.
+        # S=256 amortises per-batch boundary work (ring reload, grid
+        # edges): +6% over S=128 same-run (23.25 vs 21.91 Gs/s,
+        # 2026-08-21).
+        (flagship, 256, "fused", True, "fused", "natural"),
         (flagship, 128, "fused", True, "fused", "natural"),
         (flagship, 128, "fused", True, "turned", "natural"),
         (flagship, 128, "fused", True, "turned", "split"),
