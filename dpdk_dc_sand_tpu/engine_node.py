@@ -93,6 +93,14 @@ class EngineNode(DeviceServer):
             # X and B is the katgpucbf premise (do_merge.sh:4-10).
             from dpdk_dc_sand_tpu.models import FXBEngine, VisibilityAccumulator
 
+            if beam_layout != "split":
+                # FXBEngine only emits the split [P, C, S, B, 2] beams;
+                # silently ignoring the option would ship a different
+                # payload layout than the caller declared to consumers.
+                raise ValueError(
+                    "emit_visibilities=True only supports "
+                    f'beam_layout="split" (got {beam_layout!r})'
+                )
             self.fb = FXBEngine(
                 cfg,
                 n_spectra=n_spectra,

@@ -24,7 +24,11 @@ from dpdk_dc_sand_tpu.ops.beamform import (
     beamform_planes_folded,
     beamform_turned,
 )
-from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat, steering_coeffs
+from dpdk_dc_sand_tpu.ops.coeff_gen import (
+    steering_coeff_blockcat,
+    steering_coeffs,
+    steering_key,
+)
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay, coarse_delay
 from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
 from dpdk_dc_sand_tpu.ops.requant import requantise
@@ -160,6 +164,14 @@ class FBEngine:
             cfg, n_spectra, fengine, bstage, ct_batch_a, fengine_interpret,
             beam_layout,
         )
+        if beam_layout == "natural" and bstage not in ("turned", "fused"):
+            # Fail at construction, not at first-step trace time: the
+            # dot-natural layout only exists for the B stages that emit
+            # it (_b_stage raises the same constraint when traced).
+            raise ValueError(
+                'beam_layout="natural" requires bstage "turned" or "fused" '
+                f"(resolved bstage={bstage!r} for this geometry/backend)"
+            )
         if fengine_rolling == "auto":
             # The bf16 FIR-history ring deletes the sliding window's
             # ~(taps−1)/s_blk DMA/convert re-work; bit-exact vs the full
@@ -190,7 +202,12 @@ class FBEngine:
         self.bstage = bstage
         self.ct_batch_a = ct_batch_a
         self.fengine_rolling = bool(fengine_rolling)
-        self.fengine_pipeline = int(fengine_pipeline)
+        # Normalise once, matching the kernel's ct_pipeline contract
+        # (True = 2-way); int(True) would silently mean a degenerate
+        # 1-chunk "pipeline".
+        self.fengine_pipeline = (
+            2 if fengine_pipeline is True else int(fengine_pipeline)
+        )
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -271,8 +288,9 @@ class FBEngine:
 
         Cheap relative to a step but hoisted out of the hot loop:
         (cos, sin) planes are ``[n_channels, B, A]`` f32 in HBM,
-        regenerated only when the polynomials change (identity-keyed
-        cache) — the 256-accumulation reuse cadence.
+        regenerated only when the polynomial *values* change
+        (content-digest cache, :func:`steering_key`) — the
+        256-accumulation reuse cadence.
 
         ``ant_weights``: optional ``[n_ants]`` per-antenna magnitude
         weights folded into the steering planes (the servlet's
@@ -283,7 +301,7 @@ class FBEngine:
         (BeamformerKernels.cu:153-166). Traced — advancing time never
         recompiles.
         """
-        key = (id(delay_vals), id(ant_weights), float(t_s))
+        key = steering_key(delay_vals, ant_weights, t_s)
         if self._coeff_blocks is None or key != self._coeff_key:
             w = (
                 jnp.ones(self.cfg.n_ants, jnp.float32)

@@ -32,6 +32,7 @@ from dpdk_dc_sand_tpu.models.fbengine import (
     _f_stage,
     resolve_backends,
 )
+from dpdk_dc_sand_tpu.ops.coeff_gen import steering_key
 from dpdk_dc_sand_tpu.ops.correlate import correlate_planes
 
 
@@ -66,7 +67,7 @@ class FXBEngine:
         fengine_rolling: bool | str = "auto",
         fengine_interpret: bool = False,
         beam_quant_scale: float | None = None,
-        fengine_pipeline: bool = False,
+        fengine_pipeline: bool | int = False,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -86,7 +87,11 @@ class FXBEngine:
         self.bstage = bstage
         self.ct_batch_a = ct_batch_a
         self.fengine_rolling = bool(fengine_rolling)
-        self.fengine_pipeline = bool(fengine_pipeline)
+        # Same normalisation as FBEngine / the kernel's ct_pipeline
+        # contract: True = 2-way, an int selects the chunk count.
+        self.fengine_pipeline = (
+            2 if fengine_pipeline is True else int(fengine_pipeline)
+        )
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -126,7 +131,7 @@ class FXBEngine:
     def set_beam_delays(self, delay_vals, ant_weights=None, t_s: float = 0.0) -> None:
         """Same contract as :meth:`FBEngine.set_beam_delays` (t_s
         extrapolates via the delay/phase rates, traced, no recompile)."""
-        key = (id(delay_vals), id(ant_weights), float(t_s))
+        key = steering_key(delay_vals, ant_weights, t_s)
         if self._coeffs is None or key != self._coeff_key:
             w = (
                 jnp.ones(self.cfg.n_ants, jnp.float32)

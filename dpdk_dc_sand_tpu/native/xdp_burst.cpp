@@ -168,8 +168,14 @@ struct XskSender {
   std::uint64_t mtu_payload = 0;
   std::uint32_t src_ip = 0, dst_ip = 0;
   std::uint16_t src_port = 0, dst_port = 0;
-  std::uint32_t next_frame = 0;   // round-robin UMEM frame allocator
-  std::uint32_t outstanding = 0;  // descriptors not yet completed
+  // Explicit free-frame stack recycled from completion-ring entries.
+  // A round-robin allocator would only be safe if the kernel completed
+  // TX descriptors in submission order, which the API does not promise;
+  // recycling the addresses the completion ring actually hands back is
+  // correct under any reordering (the rte_mbuf refcount-free-callback
+  // discipline, dpdk_send.cpp:62-117).
+  std::uint32_t free_frames[kNumFrames];
+  std::uint32_t n_free = 0;
   std::atomic<std::uint64_t> packets{0};
   std::atomic<std::uint64_t> bytes{0};
 };
@@ -179,8 +185,14 @@ void tx_reap(XskSender* s) {
   std::uint32_t prod = __atomic_load_n(s->comp.producer, __ATOMIC_ACQUIRE);
   std::uint32_t n = prod - cons;
   if (n) {
+    auto* addrs = static_cast<const std::uint64_t*>(s->comp.desc);
+    for (std::uint32_t i = 0; i < n; ++i) {
+      std::uint64_t a = addrs[(cons + i) & (s->comp.size - 1)];
+      if (s->n_free < kNumFrames)
+        s->free_frames[s->n_free++] =
+            static_cast<std::uint32_t>(a / kFrameSize);
+    }
     __atomic_store_n(s->comp.consumer, cons + n, __ATOMIC_RELEASE);
-    s->outstanding -= n;
   }
 }
 
@@ -236,6 +248,8 @@ void* xsk_sender_create(const char* ifname, const char* src_ip,
     delete s;
     return nullptr;
   }
+  for (std::uint32_t i = 0; i < kNumFrames; ++i) s->free_frames[i] = i;
+  s->n_free = kNumFrames;
   return s;
 }
 
@@ -248,8 +262,8 @@ long long xsk_send_chunk(void* handle, const std::uint8_t* payload,
                          std::uint32_t channel_offset) {
   auto* s = static_cast<XskSender*>(handle);
   if (!s || !payload) return -1;
+  if (heap_len == 0) return 0;  // sp_packetize emits nothing for n=0
   std::uint64_t total = (heap_len + s->mtu_payload - 1) / s->mtu_payload;
-  if (total == 0) total = 1;
   if (total > 0xFFFF) return -1;
   std::uint64_t hdr = sp_header_bytes();
   auto* descs = static_cast<xdp_desc*>(s->tx.desc);
@@ -262,9 +276,7 @@ long long xsk_send_chunk(void* handle, const std::uint8_t* payload,
     std::uint32_t prod = __atomic_load_n(s->tx.producer, __ATOMIC_RELAXED);
     std::uint32_t cons = __atomic_load_n(s->tx.consumer, __ATOMIC_ACQUIRE);
     std::uint32_t space = s->tx.size - (prod - cons);
-    std::uint32_t frames_free = kNumFrames > s->outstanding + kRingSize
-                                    ? kRingSize
-                                    : kNumFrames - s->outstanding;
+    std::uint32_t frames_free = s->n_free;
     int burst = kTxBurst;
     if ((std::uint32_t)burst > space) burst = space;
     if ((std::uint32_t)burst > frames_free) burst = frames_free;
@@ -282,8 +294,7 @@ long long xsk_send_chunk(void* handle, const std::uint8_t* payload,
       std::uint64_t plen = heap_len - poff < s->mtu_payload
                                ? heap_len - poff
                                : s->mtu_payload;
-      std::uint32_t frame = s->next_frame;
-      s->next_frame = (s->next_frame + 1) % kNumFrames;
+      std::uint32_t frame = s->free_frames[--s->n_free];
       std::uint8_t* f = s->umem.buf + static_cast<std::uint64_t>(frame) * kFrameSize;
       std::uint16_t udp_payload =
           static_cast<std::uint16_t>(hdr + plen);
@@ -305,14 +316,13 @@ long long xsk_send_chunk(void* handle, const std::uint8_t* payload,
       sent_bytes += kWireHdr + udp_payload;
     }
     __atomic_store_n(s->tx.producer, prod + burst, __ATOMIC_RELEASE);
-    s->outstanding += burst;
     if (sendto(s->fd, nullptr, 0, MSG_DONTWAIT, nullptr, 0) < 0 &&
         errno != EAGAIN && errno != EBUSY && errno != ENOBUFS)
       return -1;
     pkt += burst;
   }
   // Drain completions so destroy never leaves the kernel holding frames.
-  while (s->outstanding > kNumFrames - kRingSize) {
+  while (s->n_free < kRingSize) {
     sendto(s->fd, nullptr, 0, MSG_DONTWAIT, nullptr, 0);
     tx_reap(s);
   }

@@ -14,9 +14,34 @@ The delay polynomial is a *runtime input* so CAM updates at the
 from __future__ import annotations
 
 import functools
+import hashlib
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def steering_key(delay_vals, ant_weights, t_s: float) -> tuple:
+    """Content-digest cache key for steering-plane regeneration.
+
+    The engines cache expanded rotation planes across the
+    256-accumulation reuse cadence and must regenerate them whenever the
+    *values* of the delay polynomials or antenna weights change
+    (coefficients track CAM updates, BeamformerParameters.h:53-66).
+    Keying that cache on ``id()`` is a stale-steering hazard: CPython
+    freelists readily hand a new array the address of a dead one, so a
+    fresh ``?beam-delays`` solution can collide with the previous epoch's
+    key and be silently dropped for a whole reuse cadence. The inputs
+    are tiny (``[B][A][4]`` f32 and ``[A]`` f32), so hashing their bytes
+    every chunk is noise next to a pipeline step.
+    """
+    dv = np.ascontiguousarray(np.asarray(delay_vals))
+    digest = hashlib.blake2b(dv.tobytes(), digest_size=16)
+    if ant_weights is not None:
+        digest.update(
+            np.ascontiguousarray(np.asarray(ant_weights, np.float32)).tobytes()
+        )
+    return (dv.shape, ant_weights is None, digest.hexdigest(), float(t_s))
 
 
 @functools.partial(

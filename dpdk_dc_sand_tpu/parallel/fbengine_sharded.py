@@ -39,6 +39,7 @@ from dpdk_dc_sand_tpu.config import ArrayConfig
 from dpdk_dc_sand_tpu.golden.pfb import pfb_window
 from dpdk_dc_sand_tpu.models.fbengine import _coeff_blocks
 from dpdk_dc_sand_tpu.ops.beamform import beamform_planes
+from dpdk_dc_sand_tpu.ops.coeff_gen import steering_key
 from dpdk_dc_sand_tpu.ops.correlate import correlate_planes
 from dpdk_dc_sand_tpu.ops.delay import apply_fine_delay
 from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
@@ -276,7 +277,7 @@ class ShardedFBEngine:
         delay/phase rates (traced — advancing time never recompiles);
         ``ant_weights`` folds per-antenna magnitudes into the planes (the
         servlet's ``?beam-weights`` fan-out contract)."""
-        key = (id(delay_vals), id(ant_weights), float(t_s))
+        key = steering_key(delay_vals, ant_weights, t_s)
         if self._coeffs is None or key != self._coeff_key:
             w = (
                 jnp.ones(self.cfg.n_ants, jnp.float32)

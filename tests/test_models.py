@@ -413,3 +413,62 @@ def test_fbengine_packed_fused_beam_layout_matches_split():
     relay = np.transpose(x, (1, 0, 3, 2, 4, 5)).reshape(p, c, s, 2, nb)
     relay = np.stack([relay[..., 0, :], relay[..., 1, :]], axis=-1)
     np.testing.assert_allclose(relay, want, rtol=1e-6, atol=1e-6)
+
+
+def test_steering_cache_tracks_values_not_identity():
+    """A fresh delay solution must regenerate the steering planes even
+    when CPython hands the new array the dead previous array's address.
+
+    Regression for the ``id()``-keyed coefficient cache: EngineNode
+    passes a fresh ``delay_vals.copy()`` each chunk and drops the
+    previous copy, so object-address reuse could silently serve stale
+    steering for a whole 256-chunk reuse cadence (coefficients must
+    track CAM updates, BeamformerParameters.h:53-66). The cache now keys
+    on a content digest (ops.coeff_gen.steering_key).
+    """
+    cfg = ArrayConfig(n_ants=3, n_channels=128, n_beams=2, n_taps=4)
+    eng = FBEngine(cfg, n_spectra=4, use_pallas=False)
+
+    dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+    eng.set_beam_delays(dv)
+    import jax
+
+    before = [np.asarray(x) for x in jax.tree_util.tree_leaves(eng._coeff_blocks)]
+    dead_id = id(dv)
+    del dv
+
+    # Force address reuse: allocate/free identically-shaped arrays until
+    # one lands on the dead object's address (usually the first try).
+    reused = False
+    for _ in range(1000):
+        dv2 = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+        dv2[:, :, 2] = 1.0  # a genuinely different solution: phase = 1 rad
+        if id(dv2) == dead_id:
+            reused = True
+            break
+        del dv2
+    if not reused:  # pragma: no cover - allocator-dependent
+        dv2 = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+        dv2[:, :, 2] = 1.0
+
+    eng.set_beam_delays(dv2)
+    after = [np.asarray(x) for x in jax.tree_util.tree_leaves(eng._coeff_blocks)]
+    assert any(
+        not np.array_equal(b, a) for b, a in zip(before, after)
+    ), "steering planes did not track the new delay solution"
+
+
+def test_steering_key_is_content_keyed():
+    from dpdk_dc_sand_tpu.ops.coeff_gen import steering_key
+
+    a = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    b = a.copy()
+    assert steering_key(a, None, 0.0) == steering_key(b, None, 0.0)
+    b[0, 0, 0] += 1.0
+    assert steering_key(a, None, 0.0) != steering_key(b, None, 0.0)
+    w = np.ones(3, np.float32)
+    assert steering_key(a, None, 0.0) != steering_key(a, w, 0.0)
+    w2 = w.copy()
+    w2[1] = 0.5
+    assert steering_key(a, w, 0.0) != steering_key(a, w2, 0.0)
+    assert steering_key(a, w, 0.0) != steering_key(a, w, 1.0)
