@@ -22,5 +22,11 @@ from dpdk_dc_sand_tpu.stream.spead import (  # noqa: F401
     packetize,
     parse_header,
 )
+from dpdk_dc_sand_tpu.stream.spead64 import (  # noqa: F401
+    Heap64Assembler,
+    packetize64,
+    parse_packet64,
+    stream_stop_packet,
+)
 from dpdk_dc_sand_tpu.stream.feed import DeviceFeed, RateReporter  # noqa: F401
 from dpdk_dc_sand_tpu.stream.udp import UdpReceiver, UdpSender  # noqa: F401

@@ -23,6 +23,11 @@ from dpdk_dc_sand_tpu.stream.chunk import Chunk
 from dpdk_dc_sand_tpu.stream.feed import RateReporter
 from dpdk_dc_sand_tpu.stream.ring import ChunkRing
 from dpdk_dc_sand_tpu.stream.spead import HEADER_BYTES, HeapAssembler, packetize
+from dpdk_dc_sand_tpu.stream.spead64 import (
+    MAGIC as SPEAD64_MAGIC,
+    Heap64Assembler,
+    packetize64,
+)
 
 
 def _is_multicast(addr: str) -> bool:
@@ -45,10 +50,16 @@ class UdpSender:
         dest: Tuple[str, int],
         mtu_payload: int = 4096,
         reporter: Optional[RateReporter] = None,
+        wire_format: str = "lite",
     ) -> None:
+        if wire_format not in ("lite", "spead64"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
         self.dest = dest
         self.mtu_payload = mtu_payload
         self.reporter = reporter
+        #: "lite" = the fixed-header fast path (native packetizer);
+        #: "spead64" = real SPEAD-64-48 for spead2 interoperability.
+        self.wire_format = wire_format
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         if _is_multicast(dest[0]):
             self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, 1)
@@ -57,13 +68,23 @@ class UdpSender:
         self.sent_bytes = 0
 
     def send_chunk(self, chunk: Chunk) -> None:
-        for pkt in packetize(
-            chunk.payload,
-            heap_id=chunk.seq,
-            timestamp=chunk.timestamp,
-            channel_offset=chunk.channel_offset,
-            mtu_payload=self.mtu_payload,
-        ):
+        if self.wire_format == "spead64":
+            pkts = packetize64(
+                chunk.payload,
+                heap_cnt=chunk.seq,
+                timestamp=chunk.timestamp,
+                channel_offset=chunk.channel_offset,
+                mtu_payload=self.mtu_payload,
+            )
+        else:
+            pkts = packetize(
+                chunk.payload,
+                heap_id=chunk.seq,
+                timestamp=chunk.timestamp,
+                channel_offset=chunk.channel_offset,
+                mtu_payload=self.mtu_payload,
+            )
+        for pkt in pkts:
             self.sock.sendto(pkt, self.dest)
             self.sent_packets += 1
             self.sent_bytes += len(pkt)
@@ -109,9 +130,13 @@ class UdpReceiver:
             )
             self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
         self.sock.setblocking(False)
+        # Dual-stack ingest: SPEAD-lite on the fast path, real
+        # SPEAD-64-48 for spead2 senders — dispatched per packet on the
+        # protocol magic, so one engine port accepts either format.
         self.assembler = HeapAssembler(
             mtu_payload=mtu_payload, on_chunk=self._deliver
         )
+        self.assembler64 = Heap64Assembler(on_chunk=self._deliver)
         self.reporter = reporter
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -166,7 +191,10 @@ class UdpReceiver:
                     continue
                 except OSError:
                     break
-                self.assembler.feed(pkt)
+                if pkt[:1] == bytes((SPEAD64_MAGIC,)):
+                    self.assembler64.feed(pkt)
+                else:
+                    self.assembler.feed(pkt)
         finally:
             sel.close()
 
