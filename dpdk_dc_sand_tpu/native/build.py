@@ -152,5 +152,9 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.xsk_sender_destroy.argtypes = [vp]
     lib.xsk_receiver_create.restype = vp
     lib.xsk_receiver_create.argtypes = [cs, u16, u64, vp]
+    lib.xsk_receiver_create_multi.restype = vp
+    lib.xsk_receiver_create_multi.argtypes = [
+        cs, ctypes.POINTER(u16), ctypes.c_int, u64, vp,
+    ]
     lib.xsk_receiver_stats.argtypes = [vp] + [ctypes.POINTER(u64)] * 5
     lib.xsk_receiver_destroy.argtypes = [vp]

@@ -36,6 +36,8 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <cerrno>
+#include <chrono>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -196,9 +198,41 @@ void tx_reap(XskSender* s) {
   }
 }
 
+// Bind an XSK to (ifindex, queue 0), retrying EBUSY: a just-closed XSK
+// on the same queue unbinds asynchronously (RCU), so an immediate
+// rebind races the kernel teardown.
+bool bind_xsk_queue(int fd, unsigned ifindex) {
+  sockaddr_xdp sxdp{};
+  sxdp.sxdp_family = AF_XDP;
+  sxdp.sxdp_flags = XDP_COPY;
+  sxdp.sxdp_ifindex = ifindex;
+  sxdp.sxdp_queue_id = 0;
+  for (int attempt = 0; attempt < 200; ++attempt) {
+    if (bind(fd, reinterpret_cast<sockaddr*>(&sxdp), sizeof(sxdp)) == 0)
+      return true;
+    if (errno != EBUSY) return false;
+    std::this_thread::sleep_for(std::chrono::milliseconds(10));
+  }
+  return false;
+}
+
+// Create-path diagnostics: the stage that failed and its errno, so the
+// Python layer can report WHY AF_XDP is unavailable (capability, limit,
+// kernel support) instead of a generic failure.
+int g_xsk_fail_stage = 0;
+int g_xsk_fail_errno = 0;
+
+void xsk_fail(int stage) {
+  g_xsk_fail_stage = stage;
+  g_xsk_fail_errno = errno;
+}
+
 }  // namespace
 
 extern "C" {
+
+int xsk_last_fail_stage() { return g_xsk_fail_stage; }
+int xsk_last_fail_errno() { return g_xsk_fail_errno; }
 
 void* xsk_sender_create(const char* ifname, const char* src_ip,
                         const char* dst_ip, std::uint16_t src_port,
@@ -206,9 +240,9 @@ void* xsk_sender_create(const char* ifname, const char* src_ip,
   if (!ifname || !src_ip || !dst_ip || mtu_payload == 0) return nullptr;
   std::uint64_t wire = kWireHdr + sp_header_bytes() + mtu_payload;
   unsigned ifindex = if_nametoindex(ifname);
-  if (wire > kFrameSize || ifindex == 0) return nullptr;
+  if (wire > kFrameSize || ifindex == 0) { xsk_fail(1); return nullptr; }
   int fd = socket(AF_XDP, SOCK_RAW, 0);
-  if (fd < 0) return nullptr;
+  if (fd < 0) { xsk_fail(2); return nullptr; }
   auto* s = new (std::nothrow) XskSender();
   if (!s) {
     close(fd);
@@ -232,15 +266,9 @@ void* xsk_sender_create(const char* ifname, const char* src_ip,
                         sizeof(xdp_desc));
   ok = ok && s->comp.init(fd, XDP_UMEM_PGOFF_COMPLETION_RING, off.cr,
                           kRingSize, sizeof(std::uint64_t));
-  if (ok) {
-    sockaddr_xdp sxdp{};
-    sxdp.sxdp_family = AF_XDP;
-    sxdp.sxdp_flags = XDP_COPY;
-    sxdp.sxdp_ifindex = ifindex;
-    sxdp.sxdp_queue_id = 0;
-    ok = bind(fd, reinterpret_cast<sockaddr*>(&sxdp), sizeof(sxdp)) == 0;
-  }
+  if (ok) ok = bind_xsk_queue(fd, ifindex);
   if (!ok) {
+    xsk_fail(3);
     s->tx.destroy();
     s->comp.destroy();
     s->umem.destroy();
@@ -367,12 +395,16 @@ struct XskReceiver {
   std::atomic<std::uint64_t> bytes{0};
 };
 
-// Hand-assembled XDP program: redirect UDP/IPv4 packets for dst_port on
-// this queue into the XSKMAP; XDP_PASS everything else (so unrelated
-// traffic — ARP, TCP, other ports — flows to the stack untouched). The
-// rte_flow steering rule of dpdk_recv.cpp:61-131 as 22 eBPF insns.
-int load_filter_prog(int map_fd, std::uint16_t dst_port) {
-  const std::uint16_t port_be = htons(dst_port);
+// Hand-assembled XDP program: redirect UDP/IPv4 packets whose dst port
+// matches ANY of the subscribed ports into the XSKMAP; XDP_PASS
+// everything else (so unrelated traffic — ARP, TCP, other ports — flows
+// to the stack untouched). One port per subscribed stream endpoint: the
+// multi-stream subscription model of ibverbs_rx.c:207-210 expressed as
+// the rte_flow steering rule of dpdk_recv.cpp:61-131 in eBPF.
+constexpr int kMaxFilterPorts = 16;
+
+int load_filter_prog(int map_fd, const std::uint16_t* ports, int n_ports) {
+  if (n_ports < 1 || n_ports > kMaxFilterPorts) return -1;
   auto ins = [](std::uint8_t code, std::uint8_t dst, std::uint8_t src,
                 std::int16_t off, std::int32_t imm) {
     bpf_insn i{};
@@ -383,44 +415,53 @@ int load_filter_prog(int map_fd, std::uint16_t dst_port) {
     i.imm = imm;
     return i;
   };
-  bpf_insn prog[] = {
-      // r6 = ctx
-      ins(BPF_ALU64 | BPF_MOV | BPF_X, 6, 1, 0, 0),
-      // r2 = data, r3 = data_end
-      ins(BPF_LDX | BPF_MEM | BPF_W, 2, 6, 0, 0),
-      ins(BPF_LDX | BPF_MEM | BPF_W, 3, 6, 4, 0),
-      // bounds: data + 42 <= data_end, else pass
-      ins(BPF_ALU64 | BPF_MOV | BPF_X, 4, 2, 0, 0),
-      ins(BPF_ALU64 | BPF_ADD | BPF_K, 4, 0, 0, kWireHdr),
-      ins(BPF_JMP | BPF_JGT | BPF_X, 4, 3, 14, 0),  // -> pass
-      // eth proto == ETH_P_IP
-      ins(BPF_LDX | BPF_MEM | BPF_H, 5, 2, 12, 0),
-      ins(BPF_JMP | BPF_JNE | BPF_K, 5, 0, 12, 0x0008),
-      // ip proto == UDP
-      ins(BPF_LDX | BPF_MEM | BPF_B, 5, 2, 23, 0),
-      ins(BPF_JMP | BPF_JNE | BPF_K, 5, 0, 10, 17),
-      // IHL == 5 (we build these headers ourselves)
-      ins(BPF_LDX | BPF_MEM | BPF_B, 5, 2, 14, 0),
-      ins(BPF_JMP | BPF_JNE | BPF_K, 5, 0, 8, 0x45),
-      // dst port
-      ins(BPF_LDX | BPF_MEM | BPF_H, 5, 2, 36, 0),
-      ins(BPF_JMP | BPF_JNE | BPF_K, 5, 0, 6, port_be),
-      // bpf_redirect_map(xsks_map, ctx->rx_queue_index, XDP_PASS)
-      ins(BPF_LD | BPF_IMM | BPF_DW, 1, BPF_PSEUDO_MAP_FD, 0, map_fd),
-      ins(0, 0, 0, 0, 0),  // second half of ld_imm64
-      ins(BPF_LDX | BPF_MEM | BPF_W, 2, 6, 16, 0),
-      ins(BPF_ALU64 | BPF_MOV | BPF_K, 3, 0, 0, 2),
-      ins(BPF_JMP | BPF_CALL, 0, 0, 0, 51),  // BPF_FUNC_redirect_map
-      ins(BPF_JMP | BPF_EXIT, 0, 0, 0, 0),
-      // pass:
-      ins(BPF_ALU64 | BPF_MOV | BPF_K, 0, 0, 0, 2),  // XDP_PASS
-      ins(BPF_JMP | BPF_EXIT, 0, 0, 0, 0),
-  };
+  // Layout: 13-insn prelude, n_ports JEQ matches, a JA to pass, the
+  // 6-insn redirect block, the 2-insn pass block. Jump offsets are
+  // relative to the NEXT instruction.
+  const int redirect_at = 14 + n_ports;
+  const int pass_at = redirect_at + 6;
+  bpf_insn prog[13 + kMaxFilterPorts + 1 + 6 + 2];
+  int k = 0;
+  // r6 = ctx; r2 = data, r3 = data_end
+  prog[k++] = ins(BPF_ALU64 | BPF_MOV | BPF_X, 6, 1, 0, 0);
+  prog[k++] = ins(BPF_LDX | BPF_MEM | BPF_W, 2, 6, 0, 0);
+  prog[k++] = ins(BPF_LDX | BPF_MEM | BPF_W, 3, 6, 4, 0);
+  // bounds: data + 42 <= data_end, else pass
+  prog[k++] = ins(BPF_ALU64 | BPF_MOV | BPF_X, 4, 2, 0, 0);
+  prog[k++] = ins(BPF_ALU64 | BPF_ADD | BPF_K, 4, 0, 0, kWireHdr);
+  prog[k] = ins(BPF_JMP | BPF_JGT | BPF_X, 4, 3, pass_at - k - 1, 0); k++;
+  // eth proto == ETH_P_IP
+  prog[k++] = ins(BPF_LDX | BPF_MEM | BPF_H, 5, 2, 12, 0);
+  prog[k] = ins(BPF_JMP | BPF_JNE | BPF_K, 5, 0, pass_at - k - 1, 0x0008); k++;
+  // ip proto == UDP
+  prog[k++] = ins(BPF_LDX | BPF_MEM | BPF_B, 5, 2, 23, 0);
+  prog[k] = ins(BPF_JMP | BPF_JNE | BPF_K, 5, 0, pass_at - k - 1, 17); k++;
+  // IHL == 5 (we build these headers ourselves)
+  prog[k++] = ins(BPF_LDX | BPF_MEM | BPF_B, 5, 2, 14, 0);
+  prog[k] = ins(BPF_JMP | BPF_JNE | BPF_K, 5, 0, pass_at - k - 1, 0x45); k++;
+  // dst port ∈ subscribed set → redirect
+  prog[k++] = ins(BPF_LDX | BPF_MEM | BPF_H, 5, 2, 36, 0);
+  for (int i = 0; i < n_ports; ++i) {
+    prog[k] = ins(BPF_JMP | BPF_JEQ | BPF_K, 5, 0, redirect_at - k - 1,
+                  htons(ports[i]));
+    k++;
+  }
+  prog[k] = ins(BPF_JMP | BPF_JA, 0, 0, pass_at - k - 1, 0); k++;
+  // redirect: bpf_redirect_map(xsks_map, ctx->rx_queue_index, XDP_PASS)
+  prog[k++] = ins(BPF_LD | BPF_IMM | BPF_DW, 1, BPF_PSEUDO_MAP_FD, 0, map_fd);
+  prog[k++] = ins(0, 0, 0, 0, 0);  // second half of ld_imm64
+  prog[k++] = ins(BPF_LDX | BPF_MEM | BPF_W, 2, 6, 16, 0);
+  prog[k++] = ins(BPF_ALU64 | BPF_MOV | BPF_K, 3, 0, 0, 2);
+  prog[k++] = ins(BPF_JMP | BPF_CALL, 0, 0, 0, 51);  // BPF_FUNC_redirect_map
+  prog[k++] = ins(BPF_JMP | BPF_EXIT, 0, 0, 0, 0);
+  // pass:
+  prog[k++] = ins(BPF_ALU64 | BPF_MOV | BPF_K, 0, 0, 0, 2);  // XDP_PASS
+  prog[k++] = ins(BPF_JMP | BPF_EXIT, 0, 0, 0, 0);
   static char license[] = "GPL";
   bpf_attr attr{};
   attr.prog_type = BPF_PROG_TYPE_XDP;
   attr.insns = reinterpret_cast<std::uint64_t>(prog);
-  attr.insn_cnt = sizeof(prog) / sizeof(prog[0]);
+  attr.insn_cnt = k;
   attr.license = reinterpret_cast<std::uint64_t>(license);
   return static_cast<int>(bpf_sys(BPF_PROG_LOAD, &attr));
 }
@@ -459,9 +500,11 @@ void rx_loop(XskReceiver* rx) {
 
 extern "C" {
 
-void* xsk_receiver_create(const char* ifname, std::uint16_t port,
-                          std::uint64_t mtu_payload, void* ring) {
-  if (!ifname || mtu_payload == 0 || !ring) return nullptr;
+void* xsk_receiver_create_multi(const char* ifname,
+                                const std::uint16_t* ports, int n_ports,
+                                std::uint64_t mtu_payload, void* ring) {
+  if (!ifname || mtu_payload == 0 || !ring || !ports || n_ports < 1)
+    return nullptr;
   unsigned ifindex = if_nametoindex(ifname);
   if (ifindex == 0) return nullptr;
   int fd = socket(AF_XDP, SOCK_RAW, 0);
@@ -484,14 +527,7 @@ void* xsk_receiver_create(const char* ifname, std::uint16_t port,
                          sizeof(xdp_desc));
   ok = ok && rx->fill.init(fd, XDP_UMEM_PGOFF_FILL_RING, off.fr, kRingSize,
                            sizeof(std::uint64_t));
-  if (ok) {
-    sockaddr_xdp sxdp{};
-    sxdp.sxdp_family = AF_XDP;
-    sxdp.sxdp_flags = XDP_COPY;
-    sxdp.sxdp_ifindex = ifindex;
-    sxdp.sxdp_queue_id = 0;
-    ok = bind(fd, reinterpret_cast<sockaddr*>(&sxdp), sizeof(sxdp)) == 0;
-  }
+  if (ok) ok = bind_xsk_queue(fd, ifindex);
   if (ok) {
     // Pre-stock the fill ring with half the UMEM.
     auto* fills = static_cast<std::uint64_t*>(rx->fill.desc);
@@ -518,7 +554,7 @@ void* xsk_receiver_create(const char* ifname, std::uint16_t port,
       ok = bpf_sys(BPF_MAP_UPDATE_ELEM, &uattr) == 0;
     }
     if (ok) {
-      rx->prog_fd = load_filter_prog(rx->map_fd, port);
+      rx->prog_fd = load_filter_prog(rx->map_fd, ports, n_ports);
       ok = rx->prog_fd >= 0;
     }
     if (ok) {
@@ -548,6 +584,11 @@ void* xsk_receiver_create(const char* ifname, std::uint16_t port,
   }
   rx->thread = std::thread(rx_loop, rx);
   return rx;
+}
+
+void* xsk_receiver_create(const char* ifname, std::uint16_t port,
+                          std::uint64_t mtu_payload, void* ring) {
+  return xsk_receiver_create_multi(ifname, &port, 1, mtu_payload, ring);
 }
 
 void xsk_receiver_stats(void* handle, std::uint64_t* packets,

@@ -124,9 +124,17 @@ class UdpReceiver:
         except OSError:
             pass
         self.sock.bind(bind)
-        if group is not None and _is_multicast(group):
+        # Multi-group subscription: each engine joins exactly the
+        # multicast streams whose channel slices it owns — the wire-level
+        # xeng_id sharding ("subscribe to multiple multicast streams",
+        # ibverbs_rx.c:207-210). A str joins one group; a list joins all.
+        groups = (
+            [] if group is None else [group] if isinstance(group, str) else list(group)
+        )
+        self.groups = [g for g in groups if _is_multicast(g)]
+        for g in self.groups:
             mreq = struct.pack(
-                "4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0")
+                "4s4s", socket.inet_aton(g), socket.inet_aton("0.0.0.0")
             )
             self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
         self.sock.setblocking(False)

@@ -31,6 +31,19 @@ from dpdk_dc_sand_tpu.stream.chunk import Chunk
 from dpdk_dc_sand_tpu.stream.ring import ChunkRing
 
 
+def _fail_detail(lib) -> str:
+    """Human-readable create-failure cause from the native error capture."""
+    import os
+
+    try:
+        stage = lib.xsk_last_fail_stage()
+        err = lib.xsk_last_fail_errno()
+    except AttributeError:  # pragma: no cover - stale library
+        return "kernel support / capabilities?"
+    names = {1: "frame-size/ifindex", 2: "socket(AF_XDP)", 3: "ring/bind setup"}
+    return f"stage={names.get(stage, stage)} errno={err} {os.strerror(err)}"
+
+
 class XdpSender:
     """Raw-frame AF_XDP chunk transmitter on ``ifname`` queue 0."""
 
@@ -56,8 +69,8 @@ class XdpSender:
         )
         if not self._h:
             raise OSError(
-                f"cannot open AF_XDP sender on {ifname} (kernel support / "
-                "CAP_NET_RAW / frame size?)"
+                f"cannot open AF_XDP sender on {ifname} "
+                f"({_fail_detail(lib)})"
             )
 
     def send_chunk(self, chunk: Chunk) -> int:
@@ -94,12 +107,19 @@ class XdpSender:
 class XdpReceiver:
     """AF_XDP receiver: eBPF port filter steers frames into the XSK RX
     ring; a C++ thread strips headers and reassembles SPEAD heaps into
-    ``ring`` (must be a native ChunkRing)."""
+    ``ring`` (must be a native ChunkRing).
+
+    ``port`` may be an int or a list of ints: multiple subscribed stream
+    endpoints are matched in one filter program — the multi-stream
+    subscription model of ibverbs_rx.c:207-210 at the XDP layer (each
+    engine steers exactly the channel-slice streams it owns into its
+    ring; everything else passes to the stack untouched).
+    """
 
     def __init__(
         self,
         ifname: str,
-        port: int,
+        port,
         ring: ChunkRing,
         mtu_payload: int = 3584,
     ) -> None:
@@ -110,13 +130,19 @@ class XdpReceiver:
             raise ValueError("XdpReceiver needs a native ChunkRing")
         self._lib = lib
         self.ring = ring
+        ports = [port] if isinstance(port, int) else list(port)
+        if not ports or len(ports) > 16:
+            raise ValueError("1..16 subscribed ports supported")
+        arr = (ctypes.c_uint16 * len(ports))(*ports)
         self._h = ctypes.c_void_p(
-            lib.xsk_receiver_create(ifname.encode(), port, mtu_payload, ring._ring)
+            lib.xsk_receiver_create_multi(
+                ifname.encode(), arr, len(ports), mtu_payload, ring._ring
+            )
         )
         if not self._h:
             raise OSError(
-                f"cannot open AF_XDP receiver on {ifname} (kernel support / "
-                "CAP_BPF / CAP_NET_ADMIN?)"
+                f"cannot open AF_XDP receiver on {ifname} "
+                f"({_fail_detail(lib)})"
             )
 
     def stats(self) -> dict:

@@ -115,3 +115,75 @@ def test_xdp_port_filter_passes_other_traffic(fabric):
         tx_other.close()
         rx.stop()
         ring.close()
+
+
+def test_xdp_multiport_subscription(fabric):
+    """Multi-stream subscription: one engine's filter steers SEVERAL
+    stream endpoints (ports) into its ring — the wire-level xeng_id
+    channel-slice model ("subscribe to multiple multicast streams",
+    ibverbs_rx.c:207-210) — while foreign endpoints still pass.
+
+    Senders are opened sequentially: one XSK per veth queue at a time.
+    """
+    a, b = fabric
+    ring = ChunkRing(16, 1 << 16, native=True)
+    try:
+        rx = udp_xdp.XdpReceiver(b, [5003, 5004], ring, mtu_payload=1024)
+    except OSError as e:
+        pytest.skip(f"AF_XDP unavailable: {e}")
+    rng = np.random.default_rng(3)
+    payloads = {p: rng.integers(0, 255, 2048, dtype=np.uint8)
+                for p in (5003, 5004, 6001)}
+    got = {}
+
+    def drain():
+        while True:
+            r = ring.acquire_read()
+            if r is None:
+                return
+            view, seq = r
+            c = UdpReceiver.unpack(view)
+            got.setdefault(seq, (c.channel_offset, c.payload.copy()))
+            ring.release_read()
+
+    try:
+        # seq encodes the slice; channel_offset encodes ownership.
+        for i, p in enumerate((5003, 5004)):
+            tx = udp_xdp.XdpSender(a, "10.99.0.1", "10.99.0.2", p,
+                                   mtu_payload=1024)
+            try:
+                deadline = time.time() + 10.0
+                while i not in got and time.time() < deadline:
+                    tx.send_chunk(
+                        Chunk(payload=payloads[p], seq=i, timestamp=0,
+                              channel_offset=i * 128)
+                    )
+                    t_wait = time.time() + 0.25
+                    while i not in got and time.time() < t_wait:
+                        drain()
+                        time.sleep(0.005)
+            finally:
+                tx.close()
+            assert i in got, (p, rx.stats())
+        for i, p in enumerate((5003, 5004)):
+            off, payload = got[i]
+            assert off == i * 128
+            np.testing.assert_array_equal(payload.view(np.uint8), payloads[p])
+        # A foreign endpoint is NOT steered into this engine's ring.
+        before = rx.stats()["packets"]
+        tx = udp_xdp.XdpSender(a, "10.99.0.1", "10.99.0.2", 6001,
+                               mtu_payload=1024)
+        try:
+            tx.send_chunk(
+                Chunk(payload=payloads[6001], seq=9, timestamp=0,
+                      channel_offset=0)
+            )
+            time.sleep(0.3)
+            drain()
+        finally:
+            tx.close()
+        assert 9 not in got
+        assert rx.stats()["packets"] == before
+    finally:
+        rx.stop()
+        ring.close()
