@@ -68,7 +68,17 @@ class FXBEngine:
         fengine_interpret: bool = False,
         beam_quant_scale: float | None = None,
         fengine_pipeline: bool | int = False,
+        vis_precision: str = "auto",
     ) -> None:
+        if vis_precision not in ("auto", "int8", "f32", "bf16"):
+            raise ValueError(f"unknown vis_precision {vis_precision!r}")
+        if vis_precision == "auto":
+            # The X stage consumes the F stage's requantised int8
+            # voltages, so the exact int8×int8→int32 MXU gram is the
+            # natural visibility path (ASTRON tensor-core correlator
+            # intent, matrix_multiply.py:74-76).
+            vis_precision = "int8"
+        self.vis_precision = vis_precision
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
         if bstage not in ("auto", "planar", "folded", "turned", "fused"):
@@ -121,6 +131,7 @@ class FXBEngine:
                 fengine_interpret=fengine_interpret,
                 beam_quant_scale=beam_quant_scale,
                 fengine_pipeline=self.fengine_pipeline,
+                vis_precision=vis_precision,
             )
         )
 
@@ -194,6 +205,7 @@ def _fxb_step(
     fengine_interpret: bool = False,
     beam_quant_scale: float | None = None,
     fengine_pipeline: bool = False,
+    vis_precision: str = "int8",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     # ---- shared F stage (same code path as FBEngine) ----
     qr, qi = _f_stage(
@@ -229,5 +241,5 @@ def _fxb_step(
     a, p, s, c = qr.shape
     cr = jnp.transpose(qr, (3, 2, 0, 1)).reshape(c, s, a * p)
     ci = jnp.transpose(qi, (3, 2, 0, 1)).reshape(c, s, a * p)
-    vis_re, vis_im = correlate_planes(cr, ci, precision)
+    vis_re, vis_im = correlate_planes(cr, ci, vis_precision)
     return beams, vis_re, vis_im

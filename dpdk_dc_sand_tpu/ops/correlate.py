@@ -17,12 +17,12 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _gram(a: jax.Array, b: jax.Array, precision) -> jax.Array:
+def _gram(a: jax.Array, b: jax.Array, precision, acc=jnp.float32) -> jax.Array:
     # a, b: [C, T, I] -> [C, I, I] contracting T
     dims = (((1,), (1,)), ((0,), (0,)))
     return lax.dot_general(
         a, b, dimension_numbers=dims, precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
 
 
@@ -36,7 +36,23 @@ def correlate_planes(
     form (trailing-2 interleaved inputs force padded tiled layouts whose
     copies back-propagate into the producing F stage; see
     benchmarks/fuse_boundary2.py).
+
+    ``precision="int8"`` is the native MXU visibility path for quantised
+    voltages: int8×int8 products accumulate EXACTLY in int32 (the TPU's
+    natural int8 matmul — the ASTRON tensor-core correlator intent,
+    matrix_multiply.py:74-76) and convert to f32 once at the end.
+    Scaling: visibilities are in (requant-code)² units, identical to
+    feeding the same int8 values through the f32 path — but bit-exact,
+    where long f32 accumulations round. Exact while
+    ``2·T·127² < 2³¹`` (T < 66 M samples per block; accumulate across
+    blocks in f32 via :func:`correlate_accumulate`).
     """
+    if precision == "int8":
+        xr = xr.astype(jnp.int8)
+        xi = xi.astype(jnp.int8)
+        vre = _gram(xr, xr, None, jnp.int32) + _gram(xi, xi, None, jnp.int32)
+        vim = _gram(xi, xr, None, jnp.int32) - _gram(xr, xi, None, jnp.int32)
+        return vre.astype(jnp.float32), vim.astype(jnp.float32)
     prec = None if precision == "bf16" else lax.Precision.HIGHEST
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     xr = xr.astype(dt)

@@ -88,3 +88,58 @@ def test_xengine_window_integration():
         want_im += i
     np.testing.assert_allclose(np.asarray(vre), want_re, rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(vim), want_im, rtol=1e-4, atol=1e-2)
+
+
+def test_int8_path_exact_vs_int64_golden():
+    """The int8×int8→int32 MXU path is bit-exact against an integer
+    golden model — stronger than the f32 path's tolerance gate."""
+    x = _planar(chan=3, t=257, inputs=7)
+    vre, vim = ops.correlate(x, precision="int8")
+    xr = x[..., 0].astype(np.int64)
+    xi = x[..., 1].astype(np.int64)
+    want_re = np.einsum("cti,ctj->cij", xr, xr) + np.einsum(
+        "cti,ctj->cij", xi, xi
+    )
+    want_im = np.einsum("cti,ctj->cij", xi, xr) - np.einsum(
+        "cti,ctj->cij", xr, xi
+    )
+    np.testing.assert_array_equal(np.asarray(vre), want_re.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(vim), want_im.astype(np.float32))
+
+
+def test_int8_path_matches_f32_path_on_int8_inputs():
+    x = _planar()
+    v8 = ops.correlate(x, precision="int8")
+    v32 = ops.correlate(x, precision="f32")
+    for a, b in zip(v8, v32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_xengine_int8_window_integration():
+    cfg = ArrayConfig(n_ants=3, n_channels=8)
+    xe = XEngine(cfg, n_accum=4, precision="int8")
+    x = xe.example_inputs(n_chan=8, t_block=16)
+    vre, vim = xe.integrate(x)
+    want_re, want_im = XEngine(cfg, n_accum=4, precision="f32").integrate(x)
+    np.testing.assert_allclose(
+        np.asarray(vre), np.asarray(want_re), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vim), np.asarray(want_im), rtol=1e-6
+    )
+
+
+def test_fxb_vis_precision_int8_default():
+    from dpdk_dc_sand_tpu.models import FXBEngine
+
+    cfg = ArrayConfig(n_ants=3, n_channels=128, n_beams=2, n_taps=4)
+    eng8 = FXBEngine(cfg, n_spectra=8, use_pallas=False)
+    assert eng8.vis_precision == "int8"
+    engf = FXBEngine(cfg, n_spectra=8, use_pallas=False, vis_precision="f32")
+    adc, cd, fd, ph = eng8.example_inputs()[:4]
+    dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
+    b8, vr8, vi8 = eng8(adc, cd, fd, ph, dv)
+    bf, vrf, vif = engf(adc, cd, fd, ph, dv)
+    np.testing.assert_array_equal(np.asarray(b8), np.asarray(bf))
+    np.testing.assert_allclose(np.asarray(vr8), np.asarray(vrf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vi8), np.asarray(vif), rtol=1e-6)
