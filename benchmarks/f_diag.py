@@ -58,6 +58,28 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96,
     ),
+    # cross-block carry: last chunk's tail deferred into the next grid
+    # step so no tail is ever exposed (whole-batch out window)
+    "xpipe4rollck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=4, xpipe=True,
+    ),
+    "xpipe2rollck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=2, xpipe=True,
+    ),
+    "pipe4rollf32ck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=4, ring="float32",
+    ),
+    "xpipewinrollck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=4, xpipe="win",
+    ),
+    "xpipe8s16rollck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, xpipe=True, vmem_mb=96,
+    ),
 }
 
 
@@ -101,6 +123,8 @@ def run(S, name):
                 coarse_delays=cd, n_spectra=S,
                 rolling=v.get("rolling", False),
                 ct_pipeline=v.get("pipeline", False),
+                ct_xpipe=v.get("xpipe", False),
+                rolling_dtype=v.get("ring", "bfloat16"),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         else:
@@ -117,6 +141,8 @@ def run(S, name):
                 ct_batch_a=v["batch_a"], s_blk=v["s_blk"],
                 rolling=v.get("rolling", False),
                 ct_pipeline=v.get("pipeline", False),
+                ct_xpipe=v.get("xpipe", False),
+                rolling_dtype=v.get("ring", "bfloat16"),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()

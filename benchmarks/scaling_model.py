@@ -13,14 +13,28 @@ instead of "unmeasured". It combines
   estimated), over
 - a stated ICI bandwidth assumption (v5e: 1600 Gbps/chip aggregate).
 
-Per-device step time at mesh (ant=as, time=ts), N = as*ts:
+Per-device step time at mesh (ant=as, time=ts), N = as*ts. Two models:
+
+1. unoverlapped (conservative):
 
     t_N = t_1 / N + t_ici,     t_ici = bytes_per_device / BW_ici
 
+2. interleaved (``ShardedFBEngine(ici_chunks=k)``, implemented and
+   equivalence-tested on the 8-device mesh): the corner-turn/psum
+   collectives of spectra sub-block j run concurrently with sub-block
+   j±1's B-stage compute — a two-resource (ICI links / TensorCore)
+   pipeline whose span is bounded by the larger stream plus one chunk
+   of fill/drain:
+
+    t_N = t_f/N + max(t_ici_tp, t_b/N) + (t_ici_tp + t_b/N)/k + t_halo
+
+   with t_b the measured single-chip B-stage marginal (the compute the
+   collectives interleave with), t_f = t_1 − t_b, and t_ici_tp the
+   turn+psum byte time (the halo ppermute stays unoverlapped — it
+   precedes the F stage).
+
 (compute splits exactly N ways — every stage's work is linear in the
-antenna x spectra grid; collectives are modelled UNOVERLAPPED with
-compute, which is conservative: XLA overlaps ppermute/all_to_all DMA
-with compute where dependencies allow). Efficiency(N) = t_1 / (N * t_N).
+antenna x spectra grid). Efficiency(N) = t_1 / (N * t_N).
 
 The reference's cost-model precedent: GPUs-per-ingest-rate,
 BeamformerCoefficientTest.cu:422-454.
@@ -95,6 +109,20 @@ def main() -> None:
         default=1600.0,
         help="per-chip aggregate ICI bandwidth, Gbit/s (v5e spec: 1600)",
     )
+    ap.add_argument(
+        "--b-stage-ms",
+        type=float,
+        default=8.5,
+        help="measured single-chip B-stage marginal (ROADMAP, the compute "
+        "the interleaved collectives overlap with)",
+    )
+    ap.add_argument(
+        "--ici-chunks",
+        type=int,
+        default=8,
+        help="spectra sub-blocks for the interleaved model "
+        "(ShardedFBEngine ici_chunks)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -133,6 +161,21 @@ def main() -> None:
                 t_ici_ms = total / bw * 1e3
                 t_n = step_ms / n + t_ici_ms
                 eff = step_ms / (n * t_n)
+
+                # Interleaved model: turn+psum pipeline against the
+                # B-stage compute; halo stays serial (pre-F).
+                k = args.ici_chunks
+                t_halo_ms = bts["halo"] / bw * 1e3
+                t_tp_ms = (bts["turn"] + bts["psum"]) / bw * 1e3
+                t_b_n = args.b_stage_ms / n
+                t_f_n = (step_ms - args.b_stage_ms) / n
+                t_n_ov = (
+                    t_f_n
+                    + max(t_tp_ms, t_b_n)
+                    + (t_tp_ms + t_b_n) / k
+                    + t_halo_ms
+                )
+                eff_ov = step_ms / (n * t_n_ov)
                 row = {
                     "chips": n,
                     "mesh": {"ant": ant_size, "time": time_size},
@@ -141,14 +184,24 @@ def main() -> None:
                     "t_ici_ms": round(t_ici_ms, 3),
                     "t_step_ms": round(t_n, 3),
                     "efficiency": round(eff, 4),
+                    "t_step_ms_interleaved": round(t_n_ov, 3),
+                    "efficiency_interleaved": round(eff_ov, 4),
                 }
-                if best is None or row["efficiency"] > best["efficiency"]:
+                if (
+                    best is None
+                    or row["efficiency_interleaved"]
+                    > best["efficiency_interleaved"]
+                ):
                     best = row
         if best is not None:
             rows.append(best)
 
     out = {
-        "model": "t_N = t_1/N + ici_bytes/BW (collectives unoverlapped)",
+        "model": (
+            "unoverlapped: t_N = t_1/N + ici_bytes/BW; interleaved "
+            "(ici_chunks): t_N = t_f/N + max(t_turn+psum, t_b/N) + "
+            "(t_turn+psum + t_b/N)/k + t_halo"
+        ),
         "config": {
             "n_ants": A, "n_pols": P, "n_channels": C, "n_beams": B_BEAMS,
             "n_taps": TAPS, "n_spectra": S,
@@ -158,10 +211,15 @@ def main() -> None:
             "single_chip_step_source": bench_src,
             "ici_gbps_per_chip": args.ici_gbps,
             "ici_note": (
-                "v5e aggregate ICI per chip (spec). Collectives are "
-                "modelled with zero overlap against compute "
-                "(conservative); DCN-crossing meshes would be slower."
+                "v5e aggregate ICI per chip (spec). 'efficiency' is the "
+                "zero-overlap conservative bound; "
+                "'efficiency_interleaved' models the implemented "
+                "ici_chunks spectra-sub-block interleave "
+                "(ShardedFBEngine, equivalence-tested on the 8-device "
+                "mesh). DCN-crossing meshes would be slower."
             ),
+            "b_stage_ms": args.b_stage_ms,
+            "ici_chunks": args.ici_chunks,
             "byte_counts": "exact, from the shard shapes in "
             "parallel/fbengine_sharded._sharded_fb_body",
         },
@@ -169,10 +227,13 @@ def main() -> None:
         "north_star": {
             "claim": ">=80% efficiency 1 -> N>=2 (BASELINE.md)",
             "predicted_8chip_efficiency": next(
-                r["efficiency"] for r in rows if r["chips"] == 8
+                r["efficiency_interleaved"] for r in rows if r["chips"] == 8
+            ),
+            "predicted_16chip_efficiency": next(
+                r["efficiency_interleaved"] for r in rows if r["chips"] == 16
             ),
             "met_in_model": next(
-                r["efficiency"] for r in rows if r["chips"] == 8
+                r["efficiency_interleaved"] for r in rows if r["chips"] == 16
             )
             >= 0.80,
         },

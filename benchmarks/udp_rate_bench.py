@@ -191,6 +191,170 @@ def max_lossless(mode: str, start_gbps: float) -> dict | None:
     return best
 
 
+def run_workers(
+    mode: str,
+    n_workers: int,
+    duration_s: float = DURATION_S,
+    pace_gbps: float | None = None,
+) -> dict | None:
+    """Sharded transport: N TX sockets ∥ N SO_REUSEPORT RX workers.
+
+    The architecture-scaling question the single-worker rows cannot
+    answer: each TX worker owns a sequence slice (seq ≡ w mod N) and its
+    own socket; the kernel's 4-tuple flow hash pins each TX socket's
+    heaps to one RX worker, so reassembly stays per-worker (the
+    multi-queue RSS / multi-XSK model on real NICs). Aggregate Gbps and
+    loss are reported across workers.
+    """
+    # More TX flows than RX workers smooths the REUSEPORT 4-tuple hash
+    # (with flows == workers a collision idles a worker ~half the time).
+    n_tx = 2 * n_workers
+    rings = [
+        ChunkRing(32, CHUNK_BYTES + 64, native=True) for _ in range(n_workers)
+    ]
+    rxs = []
+    try:
+        rx0 = BurstUdpReceiver(
+            ("127.0.0.1", 0), rings[0], mtu_payload=MTU_PAYLOAD, mode=mode,
+            reuse_port=True,
+        )
+        rxs.append(rx0)
+        for w in range(1, n_workers):
+            rxs.append(
+                BurstUdpReceiver(
+                    ("127.0.0.1", rx0.port), rings[w],
+                    mtu_payload=MTU_PAYLOAD, mode=mode, reuse_port=True,
+                )
+            )
+    except OSError:
+        for rx in rxs:
+            rx.stop()
+        for ring in rings:
+            ring.close()
+        return None
+
+    stop = threading.Event()
+
+    def consume(ring):
+        while not stop.is_set():
+            r = ring.acquire_read()
+            if r is None:
+                time.sleep(0.0005)
+                continue
+            ring.release_read()
+
+    consumers = [threading.Thread(target=consume, args=(r,)) for r in rings]
+    for t in consumers:
+        t.start()
+
+    payload = np.random.default_rng(1).integers(
+        0, 255, size=CHUNK_BYTES, dtype=np.uint8
+    )
+    chunk_s = (
+        CHUNK_BYTES * 8 * n_tx / (pace_gbps * 1e9) if pace_gbps else 0.0
+    )
+    sent = [0] * n_tx
+    txs = [
+        BurstUdpSender(
+            ("127.0.0.1", rx0.port), mtu_payload=MTU_PAYLOAD, mode=mode
+        )
+        for _ in range(n_tx)
+    ]
+    # Warmup (see run_mode).
+    for tx in txs:
+        tx.send_chunk(Chunk(payload=payload, seq=1 << 40, timestamp=0,
+                            channel_offset=0))
+    time.sleep(0.25)
+    st0s = [rx.stats() for rx in rxs]
+    tx0s = [tx.stats()[1] for tx in txs]
+
+    def produce(w):
+        # Stagger the paced schedules so the flows' bursts interleave
+        # instead of landing simultaneously (an aggregate-rate pace with
+        # synchronised 4 MiB bursts overloads the RX instantaneously
+        # regardless of the average rate).
+        tx = txs[w]
+        t0 = time.perf_counter() + (w / n_tx) * chunk_s
+        if chunk_s:
+            time.sleep((w / n_tx) * chunk_s)
+        while time.perf_counter() - t0 < duration_s:
+            tx.send_chunk(
+                Chunk(
+                    payload=payload, seq=sent[w] * n_tx + w,
+                    timestamp=0, channel_offset=0,
+                )
+            )
+            sent[w] += 1
+            if chunk_s:
+                lag = t0 + sent[w] * chunk_s - time.perf_counter()
+                if lag > 0:
+                    time.sleep(lag)
+
+    producers = [
+        threading.Thread(target=produce, args=(w,)) for w in range(n_tx)
+    ]
+    t0 = time.perf_counter()
+    for t in producers:
+        t.start()
+    for t in producers:
+        t.join()
+    elapsed = time.perf_counter() - t0
+    time.sleep(0.3)
+    stop.set()
+    for t in consumers:
+        t.join()
+
+    tx_bytes = sum(tx.stats()[1] - b0 for tx, b0 in zip(txs, tx0s))
+    sts = [
+        {k: v - s0.get(k, 0) for k, v in rx.stats().items()}
+        for rx, s0 in zip(rxs, st0s)
+    ]
+    for tx in txs:
+        tx.close()
+    for rx in rxs:
+        rx.stop()
+    for ring in rings:
+        ring.close()
+    total_sent = sum(sent)
+    heaps = sum(s["heaps"] for s in sts)
+    return {
+        "mode": mode,
+        "workers": n_workers,
+        "pace_gbps": pace_gbps,
+        "duration_s": round(elapsed, 3),
+        "chunks_sent": total_sent,
+        "tx_gbps": round(tx_bytes * 8 / elapsed / 1e9, 2),
+        "rx_gbps": round(
+            sum(s["bytes"] for s in sts) * 8 / elapsed / 1e9, 2
+        ),
+        "heaps_delivered": heaps,
+        "heaps_lost": total_sent - heaps,
+        "loss_pct": round(100.0 * (total_sent - heaps) / max(total_sent, 1), 3),
+        "ring_drops": sum(s["ring_drops"] for s in sts),
+        "per_worker_heaps": [s["heaps"] for s in sts],
+    }
+
+
+def max_lossless_workers(mode: str, n_workers: int, start_gbps: float):
+    """Highest aggregate paced rate with zero loss at this worker count."""
+    best = None
+    rate = max(start_gbps, 1.0)
+    lo, hi = 0.0, None
+    for _ in range(5):
+        r = run_workers(mode, n_workers, duration_s=2.0, pace_gbps=rate)
+        if r is None:
+            return None
+        if r["heaps_lost"] == 0 and r["ring_drops"] == 0:
+            best, lo = r, rate
+            rate = rate * 1.4 if hi is None else (rate + hi) / 2
+        else:
+            hi = rate
+            rate = (lo + rate) / 2
+        if hi is not None and hi - lo < 0.5:
+            break
+    return best
+
+
 def main() -> None:
     if not burst_available():
         raise SystemExit("native toolchain unavailable")
@@ -211,6 +375,36 @@ def main() -> None:
     best_ll = max(
         lossless.values(), key=lambda r: r["rx_gbps"], default=None
     )
+
+    # Worker-count scaling: does the architecture scale with
+    # cores/queues (the claim that matters on real multi-queue NICs)?
+    # On this 2-CPU host absolute rates cap early; the curve is the
+    # artifact.
+    worker_scaling = []
+    for n_w in (1, 2, 4):
+        rows = []
+        for pace in (8.0, 12.0, 16.0):
+            r = run_workers("gso", n_w, duration_s=2.0, pace_gbps=pace)
+            if r is None:
+                continue
+            print(json.dumps(r), flush=True)
+            rows.append(
+                {
+                    "pace_gbps": pace,
+                    "rx_gbps": r["rx_gbps"],
+                    "loss_pct": r["loss_pct"],
+                }
+            )
+        blast = run_workers("gso", n_w, duration_s=2.0)
+        if blast is not None:
+            print(json.dumps(blast), flush=True)
+        worker_scaling.append(
+            {
+                "workers": n_w,
+                "paced_loss_grid": rows,
+                "blast": blast,
+            }
+        )
     notes = {}
     for r in results:
         if r["mode"] not in lossless:
@@ -232,6 +426,7 @@ def main() -> None:
         "best_lossless": best_ll,
         "blast": results,
         "lossless": lossless,
+        "worker_scaling": worker_scaling,
         "notes": notes,
     }
     out = os.path.join(os.path.dirname(__file__), "UDP_RATE.json")

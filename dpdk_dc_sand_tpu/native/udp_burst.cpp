@@ -81,6 +81,10 @@ constexpr int kUringDepth = 256;    // SQ/CQ entries for mode 2
 constexpr std::uint64_t kGsoMax = 65000;  // staying under the UDP max
 
 enum Mode { kModeBurst = 0, kModeGso = 1, kModeUring = 2 };
+// OR'd into the receiver mode: share the port across N worker sockets
+// (kernel flow-hashes by 4-tuple, so every heap's packets — one TX
+// socket each — land wholly on one worker; the multi-queue RSS analog).
+constexpr int kFlagReusePort = 0x100;
 
 bool is_multicast(const char* ip) {
   in_addr a{};
@@ -658,10 +662,14 @@ void* ub_receiver_create_mode(const char* bind_ip, std::uint16_t port,
                               const char* group, std::uint64_t mtu_payload,
                               void* ring, int mode) {
   if (!bind_ip || mtu_payload == 0 || !ring) return nullptr;
+  const bool reuse_port = mode & kFlagReusePort;
+  mode &= 0xFF;
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return nullptr;
   int reuse = 1;
   setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &reuse, sizeof(reuse));
+  if (reuse_port)
+    setsockopt(fd, SOL_SOCKET, SO_REUSEPORT, &reuse, sizeof(reuse));
   // Deep RX ring analog (ibverbs_rx.c:155-217, 2048×9000 B entries).
   // FORCE escapes rmem_max caps when privileged; plain RCVBUF otherwise.
   int rcvbuf = 64 << 20;

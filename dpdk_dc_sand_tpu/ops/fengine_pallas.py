@@ -495,6 +495,9 @@ def _fengine_kernel_ct(
     rolling: bool = False,
     fresh_pad: int = 0,
     pipeline: bool = False,
+    xpipe: bool = False,
+    quantise: bool = True,
+    ring_dtype=jnp.bfloat16,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -642,7 +645,7 @@ def _fengine_kernel_ct(
             if sref is not None:
                 raw = _align_tile(raw, sref[b, 1], sref[b, 2])
             ring_ref[...] = (
-                raw[0:rows].reshape(n_groups, n1, n2).astype(jnp.bfloat16)
+                raw[0:rows].reshape(n_groups, n1, n2).astype(ring_dtype)
             )
 
         @pl.when(s != 0)
@@ -653,7 +656,7 @@ def _fengine_kernel_ct(
             conv = (
                 raw[0:fresh_rows]
                 .reshape(s_blk, n1, n2)
-                .astype(jnp.bfloat16)
+                .astype(ring_dtype)
             )
             for j in range(s_blk):
                 f = s * s_blk + (n_taps - 1) + j
@@ -691,8 +694,15 @@ def _fengine_kernel_ct(
     def epilogue(si, re, im):
         # Fine delay rotation + round-half-even int8 requant (the
         # requant gain is pre-folded into rot_c/rot_s by the wrapper).
+        # ``quantise=False`` ships the rotated f32 planes — the
+        # qualification path, where the int8 floor would mask the
+        # filterbank's own leakage.
         outr = re * rot_c - im * rot_s
         outi = re * rot_s + im * rot_c
+        if not quantise:
+            outr_ref[0, si] = outr
+            outi_ref[0, si] = outi
+            return
         qr = jnp.clip(jnp.rint(outr), -127.0, 127.0)
         qi = jnp.clip(jnp.rint(outi), -127.0, 127.0)
         outr_ref[0, si] = qr.astype(jnp.int8)
@@ -726,9 +736,11 @@ def _fengine_kernel_ct(
                         si
                     ).astype(buf.dtype)
 
-            def tail_chunk(buf, lo, hi):
+            def tail_chunk(buf, lo, hi, out_base=None):
                 # stage A dots + twiddle + per-si stage B/epilogue for
-                # the sub-block [lo, hi).
+                # the sub-block [lo, hi). ``out_base`` offsets the
+                # output spectra index (cross-block carry mode, where
+                # the out window spans the whole batch).
                 sl = slice(lo * n2, hi * n2)
                 accd = buf[:]
                 ar, ai = dot(d1c, accd), dot(d1s, accd)
@@ -738,7 +750,65 @@ def _fengine_kernel_ct(
                 for si in range(lo, hi):
                     s2 = slice((si - lo) * n2, (si - lo + 1) * n2)
                     re, im = stage_b(trd[:, s2], tid[:, s2])
-                    epilogue(si, re, im)
+                    idx = si if out_base is None else out_base + si
+                    epilogue(idx, re, im)
+
+            if xpipe == "win":
+                # Diagnostic variant: whole-batch window + base-indexed
+                # stores with the ORIGINAL rotated schedule — isolates
+                # the window/dynamic-store cost from the carry schedule.
+                base = s * s_blk
+                for j in range(kway):
+                    fir_chunk(accbs[j], j * per, (j + 1) * per)
+                    tail_chunk(accbs[j], j * per, (j + 1) * per, base)
+                return
+
+            if xpipe:
+                # Cross-block carry: the LAST chunk's tail is deferred
+                # into the next grid step, so every in-step tail has a
+                # FIR chunk to overlap with AND the first FIR chunk of
+                # each step overlaps the carried tail — the rotated
+                # schedule below always leaves chunk k−1's tail exposed
+                # at the end of every step (~1 tail-chunk/step of MXU
+                # serialisation). The carry buffer is accbs[k−1], which
+                # persists across grid steps like all Pallas scratch;
+                # the carry never crosses a batch (the batch's last
+                # block drains in-step), so the rotation planes and DMA
+                # schedule are untouched. Requires the whole-batch
+                # output window (out index map (b, s) → (b, 0)): the
+                # carried tail writes spectra of block s−1.
+                base = s * s_blk
+
+                # Carried tail from the previous block, overlapping
+                # this step's first FIR chunk (disjoint buffers). It
+                # runs UNCONDITIONALLY: a pl.when region is a scheduling
+                # barrier (Mosaic does not interleave across the branch),
+                # which was measured to serialise the carried MXU work
+                # against the FIR and cost ~10 ms/step at the flagship
+                # config. At s == 0 the buffer holds stale data (or the
+                # previous batch's drained block); its output goes to
+                # the clamped index — block 0's chunk-(k−1) rows — and
+                # is overwritten with the correct values one step later,
+                # before the batch window ever flushes.
+                carry_base = jnp.maximum(base - s_blk, 0)
+                fir_chunk(accbs[0], 0, per)
+                tail_chunk(
+                    accbs[kway - 1], (kway - 1) * per, s_blk, carry_base
+                )
+
+                for j in range(1, kway):
+                    fir_chunk(accbs[j], j * per, (j + 1) * per)
+                    tail_chunk(accbs[j - 1], (j - 1) * per, j * per, base)
+
+                # Batch's last block: drain the carry in-step (the one
+                # remaining predicated region, 1/n_s of steps).
+                @pl.when(s == n_s - 1)
+                def _():
+                    tail_chunk(
+                        accbs[kway - 1], (kway - 1) * per, s_blk, base
+                    )
+
+                return
 
             # Rotated k-way schedule: chunk j's MXU-heavy tail overlaps
             # chunk j+1's VPU-heavy FIR staging in hardware issue order.
@@ -795,6 +865,9 @@ def _fengine_kernel_ct(
         "n_spectra",
         "rolling",
         "ct_pipeline",
+        "ct_xpipe",
+        "quantise",
+        "rolling_dtype",
     ),
 )
 def fengine_fused(
@@ -817,6 +890,9 @@ def fengine_fused(
     n_spectra: int | None = None,
     rolling: bool = False,
     ct_pipeline: bool = False,
+    ct_xpipe: bool = False,
+    quantise: bool = True,
+    rolling_dtype: str = "bfloat16",
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -886,6 +962,16 @@ def fengine_fused(
             f"chunk (got deint={deint!r}, ct_batch_a={ct_batch_a}, "
             f"s_blk={s_blk})"
         )
+    if ct_xpipe and pipe_k < 2:
+        raise ValueError(
+            "ct_xpipe (cross-block carry) extends the pipelined "
+            "schedule; pass ct_pipeline with k >= 2 as well"
+        )
+    if not quantise and deint != "ct":
+        raise ValueError(
+            "quantise=False (f32 qualification output) needs the "
+            "direct-CT kernel form"
+        )
 
     batch = 1
     for d in lead:
@@ -918,6 +1004,14 @@ def fengine_fused(
 
     rows = (s_blk + n_taps - 1) * n1
     grid = (batch, n_spectra // s_blk)
+    if ct_xpipe and vmem_limit_mb is None:
+        # The whole-batch output window (2 int8 planes, double-buffered
+        # by the pipeline) exceeds Mosaic's default 16 MB scoped-VMEM
+        # limit; size the limit to the windows plus a generous constant
+        # for the DFT/twiddle constants, scratch and staging (~29 MB
+        # measured at the flagship S=128 config).
+        win_mb = (4 * n_spectra * out_rows * out_lanes) >> 20
+        vmem_limit_mb = min(112, 48 + win_mb)
     out_specs = (
         pl.BlockSpec(
             (1, s_blk, out_rows, out_lanes),
@@ -926,7 +1020,10 @@ def fengine_fused(
         ),
     ) * 2
     out_shape = (
-        jax.ShapeDtypeStruct((batch, n_spectra, out_rows, out_lanes), jnp.int8),
+        jax.ShapeDtypeStruct(
+            (batch, n_spectra, out_rows, out_lanes),
+            jnp.int8 if quantise else jnp.float32,
+        ),
     ) * 2
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
@@ -1006,13 +1103,31 @@ def fengine_fused(
             rolling=rolling,
             fresh_pad=fresh_pad,
             pipeline=ct_pipeline,
+            xpipe=ct_xpipe,
+            quantise=quantise,
+            ring_dtype=jnp.dtype(rolling_dtype),
         )
+        if ct_xpipe:
+            # Whole-batch output window: the cross-block carried tail
+            # writes spectra of block s−1, so the out block spans all
+            # n_spectra of the batch (consecutive revisits over s; one
+            # flush per batch — the same HBM bytes, batched).
+            out_specs = (
+                pl.BlockSpec(
+                    (1, n_spectra, out_rows, out_lanes),
+                    lambda b, s: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ) * 2
         scratch_rows = rows + (pad if scal is not None else 0)
         scratch_shapes = [pltpu.VMEM((2, scratch_rows, n2), jnp.int8)]
         if rolling:
+            # f32 ring: conversion paid once per fresh sample instead of
+            # on every tap read (the FIR reads each slot up to n_taps
+            # times across grid steps); costs 2x the ring VMEM.
             scratch_shapes.append(
                 pltpu.VMEM(
-                    (s_blk + n_taps - 1, n1, n2), jnp.bfloat16
+                    (s_blk + n_taps - 1, n1, n2), jnp.dtype(rolling_dtype)
                 )
             )
         if ct_batch_a:
@@ -1092,12 +1207,22 @@ def fengine_fused(
                     rot_spec3,
                 ],
                 out_specs=(
-                    pl.BlockSpec(
-                        (1, s_blk, out_rows, out_lanes),
-                        lambda b, s, sr: (b, s, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ) * 2,
+                    (
+                        pl.BlockSpec(
+                            (1, n_spectra, out_rows, out_lanes),
+                            lambda b, s, sr: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ) * 2
+                    if ct_xpipe
+                    else (
+                        pl.BlockSpec(
+                            (1, s_blk, out_rows, out_lanes),
+                            lambda b, s, sr: (b, s, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ) * 2
+                ),
                 scratch_shapes=scratch_shapes,
             )
             qr, qi = pl.pallas_call(

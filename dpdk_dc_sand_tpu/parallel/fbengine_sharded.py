@@ -77,6 +77,7 @@ class ShardedFBEngine:
         ct_batch_a: bool | str = "auto",
         fengine_rolling: bool | str = "auto",
         fengine_pipeline: bool | str = "auto",
+        ici_chunks: int = 1,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -170,6 +171,20 @@ class ShardedFBEngine:
             raise ValueError("scatter_beams needs n_beams divisible by the ant axis")
         if emit_planes and (emit_visibilities or scatter_beams):
             raise ValueError("emit_planes excludes the B/X stages")
+        self.ici_chunks = int(ici_chunks)
+        if self.ici_chunks < 1:
+            raise ValueError("ici_chunks must be >= 1")
+        if self.ici_chunks > 1 and (n_spectra // max(time_size, 1)) % (
+            self.ici_chunks
+        ):
+            raise ValueError(
+                "ici_chunks must divide the per-device spectra count "
+                f"({n_spectra // max(time_size, 1)})"
+            )
+        if self.ici_chunks > 1 and (emit_planes or emit_visibilities):
+            raise ValueError(
+                "ici_chunks interleaving applies to the F→B step only"
+            )
         self.cfg = cfg
         self.mesh = mesh
         self.n_spectra = n_spectra
@@ -197,6 +212,7 @@ class ShardedFBEngine:
             ct_batch_a=self.ct_batch_a,
             fengine_rolling=self.fengine_rolling,
             fengine_pipeline=self.fengine_pipeline,
+            ici_chunks=self.ici_chunks,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
@@ -326,6 +342,7 @@ def _sharded_fb_body(
     ct_batch_a: bool = False,
     fengine_rolling: bool = False,
     fengine_pipeline: bool = False,
+    ici_chunks: int = 1,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -372,52 +389,112 @@ def _sharded_fb_body(
         qr = requantise(re, quant_scale)  # [A_loc, P, S_loc, C] int8
         qi = requantise(im, quant_scale)
 
-    # 3. Distributed corner turn: spectra-sharding -> channel-sharding.
-    ar = lax.all_to_all(qr, "time", split_axis=3, concat_axis=2, tiled=True)
-    ai = lax.all_to_all(qi, "time", split_axis=3, concat_axis=2, tiled=True)
+    # 3+4. Distributed corner turn (spectra-sharding -> channel-sharding)
+    # then partial beamform over local antennas and the antenna-axis
+    # collective: all-reduce (psum) for replicated beams, or
+    # reduce-scatter (psum_scatter over the beam axis) — the warp-shuffle
+    # tree of BeamformerKernels.cu:318-341 at ICI scale.
+    def turn(qr_c, qi_c):
+        a = lax.all_to_all(
+            qr_c, "time", split_axis=3, concat_axis=2, tiled=True
+        )
+        b = lax.all_to_all(
+            qi_c, "time", split_axis=3, concat_axis=2, tiled=True
+        )
+        return a, b
+
+    def b_stage(ar, ai):
+        # -> (pre, pim) partial beams [P, C_loc, S, B] for one spectra
+        # sub-block, before the antenna reduction.
+        if bstage == "fused":
+            # Corner turn + block-diagonal dot in one Pallas kernel —
+            # the single-chip fastest B path, per shard
+            # (ops/bstage_pallas.py).
+            from dpdk_dc_sand_tpu.ops.bstage_pallas import (
+                beamform_turned_fused,
+            )
+            from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat
+
+            blocks = steering_coeff_blockcat(cos_l, sin_l)
+            return beamform_turned_fused(
+                ar, ai, blocks, n_pols=cfg.n_pols, precision=precision,
+                interpret=fengine_interpret,
+            )
+        if bstage == "turned":
+            # Local corner turn via the Pallas kernel (the XLA turn runs
+            # at ~34 GB/s effective; see ops/corner_turn.py) + one
+            # folded dot.
+            from dpdk_dc_sand_tpu.ops.beamform import beamform_turned
+            from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat
+            from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
+
+            x_t = corner_turn_planes(ar, ai, interpret=fengine_interpret)
+            blocks = steering_coeff_blockcat(cos_l, sin_l)
+            return beamform_turned(
+                x_t, blocks, n_pols=cfg.n_pols, precision=precision
+            )
+        xr_c = jnp.transpose(ar, (1, 3, 2, 0))
+        xi_c = jnp.transpose(ai, (1, 3, 2, 0))
+        return beamform_planes(xr_c, xi_c, cos_l, sin_l, precision)
+
+    def reduce_beams(pre, pim):
+        if scatter_beams:
+            pre = lax.psum_scatter(
+                pre, "ant", scatter_dimension=3, tiled=True
+            )
+            pim = lax.psum_scatter(
+                pim, "ant", scatter_dimension=3, tiled=True
+            )
+        else:
+            pre = lax.psum(pre, "ant")
+            pim = lax.psum(pim, "ant")
+        return pre, pim
+
+    if ici_chunks > 1 and not emit_planes and not emit_visibilities:
+        # ICI/compute interleave: the local SPECTRA axis is split into
+        # sub-blocks, each corner-turned, beamformed and reduced
+        # independently — spectra chunking keeps channel ownership (and
+        # hence the steering-plane sharding and output layout) exactly
+        # as in the monolithic step, so the results are bit-identical.
+        # The dependence structure lets XLA's latency-hiding scheduler
+        # run chunk j+1's all_to_all and chunk j-1's psum concurrently
+        # with chunk j's B-stage compute instead of serialising one
+        # monolithic collective against the whole step
+        # (benchmarks/scaling_model.py models the overlapped cost).
+        s_loc = qr.shape[2]
+        per = s_loc // ici_chunks
+        parts = []
+        for j in range(ici_chunks):
+            sl = slice(j * per, (j + 1) * per)
+            ar, ai = turn(qr[:, :, sl], qi[:, :, sl])
+            parts.append(b_stage(ar, ai))
+        reduced = [reduce_beams(pre, pim) for pre, pim in parts]
+
+        def order(chunks):
+            # Chunk j's gathered spectra are device-major [(d, i'), …];
+            # the monolithic order is (d, j, i'). One stacked reshape
+            # restores it (a single fused copy over the beams).
+            p, c, _, b = chunks[0].shape
+            stacked = jnp.stack(
+                [x.reshape(p, c, time_size, per, b) for x in chunks],
+                axis=3,
+            )  # [P, C_loc, T, k, per, B]
+            return stacked.reshape(p, c, time_size * ici_chunks * per, b)
+
+        pre = order([r[0] for r in reduced])
+        pim = order([r[1] for r in reduced])
+        return jnp.stack([pre, pim], axis=-1)
+
+    ar, ai = turn(qr, qi)
     if emit_planes:
         # Distributed F-engine product: [A_loc, P, S_full, C_loc] int8
         # (re, im) planes, channel-sharded — ready for SPEAD egress.
         return ar, ai
-    # [A_loc, P, S_full, C_loc] -> [P, C_loc, S_full, A_loc] per plane
     xr = jnp.transpose(ar, (1, 3, 2, 0))
     xi = jnp.transpose(ai, (1, 3, 2, 0))
 
-    # 4. Partial beamform over local antennas, then the antenna-axis
-    # collective: all-reduce (psum) for replicated beams, or
-    # reduce-scatter (psum_scatter over the beam axis) — the warp-shuffle
-    # tree of BeamformerKernels.cu:318-341 at ICI scale.
-    if bstage == "fused":
-        # Corner turn + block-diagonal dot in one Pallas kernel — the
-        # single-chip fastest B path, per shard (ops/bstage_pallas.py).
-        from dpdk_dc_sand_tpu.ops.bstage_pallas import beamform_turned_fused
-        from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat
-
-        blocks = steering_coeff_blockcat(cos_l, sin_l)
-        pre, pim = beamform_turned_fused(
-            ar, ai, blocks, n_pols=cfg.n_pols, precision=precision,
-            interpret=fengine_interpret,
-        )
-    elif bstage == "turned":
-        # Local corner turn via the Pallas kernel (the XLA turn runs at
-        # ~34 GB/s effective; see ops/corner_turn.py) + one folded dot.
-        from dpdk_dc_sand_tpu.ops.beamform import beamform_turned
-        from dpdk_dc_sand_tpu.ops.coeff_gen import steering_coeff_blockcat
-        from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
-
-        x_t = corner_turn_planes(ar, ai, interpret=fengine_interpret)
-        blocks = steering_coeff_blockcat(cos_l, sin_l)
-        pre, pim = beamform_turned(
-            x_t, blocks, n_pols=cfg.n_pols, precision=precision
-        )
-    else:
-        pre, pim = beamform_planes(xr, xi, cos_l, sin_l, precision)
-    if scatter_beams:
-        pre = lax.psum_scatter(pre, "ant", scatter_dimension=3, tiled=True)
-        pim = lax.psum_scatter(pim, "ant", scatter_dimension=3, tiled=True)
-    else:
-        pre = lax.psum(pre, "ant")
-        pim = lax.psum(pim, "ant")
+    pre, pim = b_stage(ar, ai)
+    pre, pim = reduce_beams(pre, pim)
     beams = jnp.stack([pre, pim], axis=-1)
     if not emit_visibilities:
         return beams

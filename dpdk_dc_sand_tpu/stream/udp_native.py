@@ -125,6 +125,7 @@ class BurstUdpReceiver:
         mtu_payload: int = 4096,
         group: Optional[str] = None,
         mode: str = "auto",
+        reuse_port: bool = False,
     ) -> None:
         lib = load_native()
         if lib is None:
@@ -134,6 +135,11 @@ class BurstUdpReceiver:
         self._lib = lib
         self.ring = ring
         self._h = ctypes.c_void_p()
+        # reuse_port: N worker receivers share one port (the multi-queue
+        # RSS analog); the kernel flow-hashes by 4-tuple, so each TX
+        # socket's heaps land wholly on one worker and reassembly stays
+        # per-worker. OR'd into the native mode word (kFlagReusePort).
+        flag = 0x100 if reuse_port else 0
         for m in _resolve_mode(mode):
             self._h = ctypes.c_void_p(
                 lib.ub_receiver_create_mode(
@@ -142,7 +148,7 @@ class BurstUdpReceiver:
                     group.encode() if group else None,
                     mtu_payload,
                     ring._ring,
-                    m,
+                    m | flag,
                 )
             )
             if self._h:

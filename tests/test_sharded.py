@@ -290,3 +290,34 @@ def test_sharded_steering_extrapolation_and_weights():
         fb.step(adc_ext, np.zeros(cfg.n_ants, np.int32), fd, ph)
     )
     np.testing.assert_allclose(got_t, want, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("chunks,bstage", [(2, "planar"), (4, "planar"),
+                                           (2, "turned")])
+def test_ici_interleaved_step_matches_monolithic(chunks, bstage):
+    """ici_chunks splits the corner turn + beamform + psum into spectra
+    sub-blocks whose collectives interleave with the B compute; results
+    must equal the monolithic step exactly (same values, same order)."""
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
+    n_spectra = 32
+    kwargs = dict(n_spectra=n_spectra, bstage=bstage)
+    if bstage != "planar":
+        kwargs["fengine_interpret"] = True
+    mono = ShardedFBEngine(cfg, mesh, **kwargs)
+    inter = ShardedFBEngine(cfg, mesh, ici_chunks=chunks, **kwargs)
+    adc, fd, ph, dv = mono.example_inputs()
+    want = np.asarray(mono(adc, fd, ph, dv))
+    got = np.asarray(inter(adc, fd, ph, dv))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ici_chunks_validation():
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
+    with pytest.raises(ValueError, match="ici_chunks"):
+        ShardedFBEngine(cfg, mesh, n_spectra=32, ici_chunks=3)
+    with pytest.raises(ValueError, match="ici_chunks"):
+        ShardedFBEngine(
+            cfg, mesh, n_spectra=32, ici_chunks=2, emit_visibilities=True
+        )
