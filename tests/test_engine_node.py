@@ -467,3 +467,37 @@ def test_delay_model_rejects_out_of_budget_coarse():
             await node.stop()
 
     run(scenario())
+
+
+def test_engine_node_ingests_spead64():
+    """EngineNode's UDP ingest accepts the real SPEAD-64-48 wire format
+    (dual-stack receiver): a spead2-style sender can feed a node."""
+
+    async def scenario():
+        beams = []
+        cfg = ArrayConfig(n_ants=2, n_channels=128, n_beams=2, n_taps=4)
+        node = EngineNode(
+            cfg, n_spectra=4, use_pallas=False,
+            on_beams=lambda b, seq: beams.append((seq, b.copy())),
+        )
+        rx = node.attach_udp_ingest()
+        await node.start()
+        try:
+            from dpdk_dc_sand_tpu.stream import Chunk, UdpSender
+
+            rng = np.random.default_rng(3)
+            adc = rng.integers(-64, 64, node.chunk_shape, dtype=np.int8)
+            tx = UdpSender(("127.0.0.1", rx.port), wire_format="spead64")
+            seq = 0
+            while not beams and seq < 50:
+                tx.send_chunk(
+                    Chunk(adc.view(np.uint8).ravel(), seq=seq, timestamp=seq)
+                )
+                seq += 1
+                await asyncio.sleep(0.2)
+            tx.close()
+            assert beams, "no beams emitted from spead64-fed ingest"
+        finally:
+            await node.stop()
+
+    run(scenario())

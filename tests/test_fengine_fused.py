@@ -252,3 +252,30 @@ def test_ct_pipeline_matches_plain_batch_a():
     )
     for got, ref in zip(piped, base):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_unquantised_f32_output_matches_composed_path():
+    """quantise=False (the qualification output mode) ships the rotated
+    f32 planes — must equal the composed XLA chain before requant."""
+    rng = np.random.default_rng(7)
+    n_frames = S + TAPS - 1
+    frames = rng.integers(-64, 64, (1, 1, n_frames, F), dtype=np.int8)
+    w = default_window(TAPS, F)
+    zero = jnp.zeros((1, 1), jnp.float32)
+    fr, fi = fengine_fused(
+        jnp.asarray(frames), w, zero, zero, n_channels=C, quant_scale=1.0,
+        dft_dtype="float32", quantise=False, interpret=True,
+    )
+    assert np.asarray(fr).dtype == np.float32
+    spec = pfb_channelise(
+        jnp.asarray(frames).reshape(1, 1, -1), w, n_channels=C,
+        use_pallas=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fr)[0, 0], np.asarray(jnp.real(spec))[0, 0],
+        rtol=1e-4, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fi)[0, 0], np.asarray(jnp.imag(spec))[0, 0],
+        rtol=1e-4, atol=1e-2,
+    )
