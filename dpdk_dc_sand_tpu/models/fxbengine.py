@@ -33,7 +33,7 @@ from dpdk_dc_sand_tpu.models.fbengine import (
     resolve_backends,
 )
 from dpdk_dc_sand_tpu.ops.coeff_gen import steering_key
-from dpdk_dc_sand_tpu.ops.correlate import correlate_planes
+from dpdk_dc_sand_tpu.ops.correlate import correlate_planes, correlate_turned
 
 
 class FXBEngine:
@@ -237,9 +237,46 @@ def _fxb_step(
         beam_quant_scale=beam_quant_scale,
     )
 
-    # ---- X stage: [C, S, A·P] planes over the same quantised voltages ----
+    # ---- X stage over the same quantised voltages ----
     a, p, s, c = qr.shape
-    cr = jnp.transpose(qr, (3, 2, 0, 1)).reshape(c, s, a * p)
-    ci = jnp.transpose(qi, (3, 2, 0, 1)).reshape(c, s, a * p)
-    vis_re, vis_im = correlate_planes(cr, ci, vis_precision)
+    from dpdk_dc_sand_tpu.ops.corner_turn import (
+        corner_turn_planes_x,
+        corner_turn_x_supported,
+    )
+
+    pallas_ok = fengine_interpret or jax.default_backend() == "tpu"
+    if pallas_ok and corner_turn_x_supported(a, p, s, c):
+        # Pallas X-layout turn (~390 GB/s) + visibility kernel. The XLA
+        # transpose fallback below runs at ~34 GB/s effective and made
+        # the X marginal dominate the FXB step at the flagship config
+        # (2.17x FB); the XLA gram combine added another ~5x the
+        # visibility bytes (benchmarks/fxb_flagship.py round 4).
+        from dpdk_dc_sand_tpu.ops.xcorr_pallas import (
+            correlate_planes_fused,
+            correlate_turned_fused,
+            xcorr_fused_supported,
+            xcorr_supported,
+        )
+
+        if xcorr_fused_supported(a, p, s, c):
+            # Best path: in-VMEM turn + stacked int8 gram in one kernel
+            # — no turned intermediate in HBM. Bit-exact for the int8
+            # planes regardless of vis_precision (ops/xcorr_pallas.py).
+            vis_re, vis_im = correlate_planes_fused(
+                qr, qi, interpret=fengine_interpret,
+                int8_mxu=not fengine_interpret,
+            )
+        else:
+            xt = corner_turn_planes_x(qr, qi, interpret=fengine_interpret)
+            if xcorr_supported(c, s):
+                vis_re, vis_im = correlate_turned_fused(
+                    xt, a * p, interpret=fengine_interpret,
+                    int8_mxu=not fengine_interpret,
+                )
+            else:
+                vis_re, vis_im = correlate_turned(xt, a * p, vis_precision)
+    else:
+        cr = jnp.transpose(qr, (3, 2, 0, 1)).reshape(c, s, a * p)
+        ci = jnp.transpose(qi, (3, 2, 0, 1)).reshape(c, s, a * p)
+        vis_re, vis_im = correlate_planes(cr, ci, vis_precision)
     return beams, vis_re, vis_im

@@ -163,3 +163,79 @@ def corner_turn_planes(
         compiler_params=params,
         interpret=interpret,
     )(qr, qi)
+
+
+def corner_turn_x_supported(
+    n_ants: int, n_pols: int, n_spectra: int, n_channels: int
+) -> bool:
+    """Whether the X-layout turn kernel handles this geometry.
+
+    The minor-dim split reshape ``[c_blk, A·P·S] → [c_blk, A·P, S]``
+    needs a 128-multiple minor dim, so the spectra axis itself must
+    tile by 128 (the B-layout kernel can fold pols into the lanes; the
+    X layout cannot — pols are correlator inputs, not time).
+    """
+    if n_channels % _C_BLK and n_channels >= _C_BLK:
+        return False
+    return n_spectra % _S_CHUNK == 0
+
+
+def _kernel_x(qr_ref, qi_ref, out_ref, *, a, p, s_chunk, c_blk):
+    """Per-(channel-block, spectra-chunk) grid step, all pols."""
+    xr = qr_ref[:]  # [A, P, s_chunk, c_blk] int8
+    xi = qi_ref[:]
+
+    def turn(x):
+        t = x.reshape(a * p * s_chunk, c_blk).T
+        return t.reshape(c_blk, a * p, s_chunk)
+
+    out_ref[:, 0 : a * p, :] = turn(xr)
+    out_ref[:, a * p : 2 * a * p, :] = turn(xi)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def corner_turn_planes_x(
+    qr: jax.Array, qi: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Turn int8 F-engine planes into the CORRELATOR operand layout.
+
+    Same Pallas turn as :func:`corner_turn_planes` but with pols kept as
+    correlator input rows instead of folded into the lanes:
+
+    Returns ``[C, 2·A·P, S]`` int8 with rows ``k = reim·A·P + a·P + p``
+    (matching the ``a·P + p`` input ordering of
+    :func:`~dpdk_dc_sand_tpu.ops.correlate.correlate_planes`) and
+    spectra on lanes — feed straight into ``correlate_turned``. The XLA
+    transpose this replaces runs at ~34 GB/s effective and dominated the
+    FXB step's X marginal at the flagship config (2.17× FB, round 4).
+    """
+    a, p, s, c = qr.shape
+    assert qi.shape == qr.shape
+    c_blk = min(_C_BLK, c)
+    n_cb = c // c_blk
+    n_sb = s // _S_CHUNK
+    out_shape = jax.ShapeDtypeStruct((c, 2 * a * p, s), jnp.int8)
+    in_spec = pl.BlockSpec(
+        (a, p, _S_CHUNK, c_blk),
+        lambda cb, sb: (0, 0, sb, cb),
+        memory_space=pltpu.VMEM,
+    )
+    # Windows: 2 in blocks + 1 out block, double-buffered — 20 MB at the
+    # flagship geometry, over Mosaic's 16 MB default scoped-VMEM limit.
+    win_bytes = 2 * (2 + 2) * a * p * _S_CHUNK * c_blk
+    return pl.pallas_call(
+        functools.partial(_kernel_x, a=a, p=p, s_chunk=_S_CHUNK, c_blk=c_blk),
+        grid=(n_cb, n_sb),
+        in_specs=[in_spec, in_spec],
+        out_specs=pl.BlockSpec(
+            (c_blk, 2 * a * p, _S_CHUNK),
+            lambda cb, sb: (cb, 0, sb),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=win_bytes + (8 << 20),
+        ),
+        interpret=interpret,
+    )(qr, qi)

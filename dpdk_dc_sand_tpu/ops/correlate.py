@@ -96,3 +96,48 @@ def correlate_accumulate(
     """
     vre, vim = correlate(samples, precision)
     return acc_re + vre, acc_im + vim
+
+
+@functools.partial(jax.jit, static_argnames=("n_inputs", "precision"))
+def correlate_turned(
+    xt: jax.Array, n_inputs: int, precision: str = "int8"
+) -> tuple[jax.Array, jax.Array]:
+    """Visibilities from the Pallas-turned ``[C, 2I, S]`` planes.
+
+    One batched gram ``G = Y·Yᵀ`` over the stacked (re; im) rows yields
+    all four visibility blocks at the same MAC count as the four
+    separate grams of :func:`correlate_planes`::
+
+        V_re = G[:I, :I] + G[I:, I:]
+        V_im = G[I:, :I] − G[:I, I:]
+
+    ``xt`` comes straight from
+    :func:`~dpdk_dc_sand_tpu.ops.corner_turn.corner_turn_planes_x` — no
+    XLA transpose of the F planes (the ~34 GB/s copy that made the FXB
+    X marginal 2.17× at the flagship config).
+    """
+    i = n_inputs
+    # Four row-sliced grams, NOT one [2I, 2I] gram: at the flagship
+    # config the stacked gram's intermediate is 4x the visibility size
+    # (13.4 GB int32) and blows HBM before the block slices.
+    if precision == "int8":
+        r = xt[:, :i].astype(jnp.int8)
+        im = xt[:, i:].astype(jnp.int8)
+        acc, prec = jnp.int32, None
+    else:
+        dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        prec = None if precision == "bf16" else lax.Precision.HIGHEST
+        r = xt[:, :i].astype(dt)
+        im = xt[:, i:].astype(dt)
+        acc = jnp.float32
+
+    def gram(a, b):
+        g = lax.dot_general(
+            a, b, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc, precision=prec,
+        )
+        return g.astype(jnp.float32) if acc is jnp.int32 else g
+
+    vre = gram(r, r) + gram(im, im)
+    vim = gram(im, r) - gram(r, im)
+    return vre, vim
