@@ -72,6 +72,10 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
         pipeline=4, ring="float32",
     ),
+    "pipe4rolltock": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=4, tapouter=True,
+    ),
     "xpipewinrollck": dict(
         taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
         pipeline=4, xpipe="win",
@@ -125,6 +129,7 @@ def run(S, name):
                 ct_pipeline=v.get("pipeline", False),
                 ct_xpipe=v.get("xpipe", False),
                 rolling_dtype=v.get("ring", "bfloat16"),
+                fir_tapouter=v.get("tapouter", False),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         else:
@@ -143,6 +148,7 @@ def run(S, name):
                 ct_pipeline=v.get("pipeline", False),
                 ct_xpipe=v.get("xpipe", False),
                 rolling_dtype=v.get("ring", "bfloat16"),
+                fir_tapouter=v.get("tapouter", False),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()

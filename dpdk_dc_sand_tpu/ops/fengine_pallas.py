@@ -498,6 +498,7 @@ def _fengine_kernel_ct(
     xpipe: bool = False,
     quantise: bool = True,
     ring_dtype=jnp.bfloat16,
+    tap_outer: bool = False,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -644,9 +645,18 @@ def _fengine_kernel_ct(
             raw = scratch[slot][0:rows_dma]
             if sref is not None:
                 raw = _align_tile(raw, sref[b, 1], sref[b, 2])
-            ring_ref[...] = (
+            conv_full = (
                 raw[0:rows].reshape(n_groups, n1, n2).astype(ring_dtype)
             )
+            if tap_outer:
+                # Double-written ring: slot f also lives at f + G, so
+                # any wrapped window of consecutive slabs is one
+                # contiguous slice (the tap-outer FIR reads per-tap
+                # [per] slab slices instead of per-si slabs).
+                ring_ref[0:n_groups] = conv_full
+                ring_ref[n_groups : 2 * n_groups] = conv_full
+            else:
+                ring_ref[...] = conv_full
 
         @pl.when(s != 0)
         def _():
@@ -661,6 +671,8 @@ def _fengine_kernel_ct(
             for j in range(s_blk):
                 f = s * s_blk + (n_taps - 1) + j
                 ring_ref[jax.lax.rem(f, n_groups)] = conv[j]
+                if tap_outer:
+                    ring_ref[jax.lax.rem(f, n_groups) + n_groups] = conv[j]
 
         def fir(si):
             f0 = s * s_blk + si
@@ -671,6 +683,24 @@ def _fengine_kernel_ct(
                     * wina_ref[tap * n1 : (tap + 1) * n1]
                 )
             return acc
+
+        def fir_chunk_to(buf, lo, hi):
+            # Tap-outer FIR over a whole sub-block: one window slab
+            # applied to ALL the chunk's spectra per tap (a broadcast
+            # FMA), instead of re-streaming 16 window slabs per
+            # spectrum — the window was the dominant VMEM traffic
+            # (benchmarks/fir_probe.py: +33% FMA rate). Same f32
+            # accumulation order per spectrum -> bit-exact vs fir().
+            per_ = hi - lo
+            f0 = s * s_blk + lo
+            acc = None
+            for tap in range(n_taps):
+                q = jax.lax.rem(f0 + tap, n_groups)
+                sl = ring_ref[pl.ds(q, per_)]  # [per, n1, n2]
+                term = sl * wina_ref[tap * n1 : (tap + 1) * n1][None]
+                acc = term if acc is None else acc + term
+            for j in range(per_):
+                buf[:, j * n2 : (j + 1) * n2] = acc[j].astype(buf.dtype)
 
     else:
         raw = scratch[slot]
@@ -731,6 +761,9 @@ def _fengine_kernel_ct(
             per = s_blk // kway
 
             def fir_chunk(buf, lo, hi):
+                if tap_outer:
+                    fir_chunk_to(buf, lo, hi)
+                    return
                 for si in range(lo, hi):
                     buf[:, (si - lo) * n2 : (si - lo + 1) * n2] = fir(
                         si
@@ -816,10 +849,13 @@ def _fengine_kernel_ct(
                 fir_chunk(accbs[j], j * per, (j + 1) * per)
                 tail_chunk(accbs[j], j * per, (j + 1) * per)
             return
-        for si in range(s_blk):
-            accb_ref[:, si * n2 : (si + 1) * n2] = fir(si).astype(
-                accb_ref.dtype
-            )
+        if tap_outer:
+            fir_chunk_to(accb_ref, 0, s_blk)
+        else:
+            for si in range(s_blk):
+                accb_ref[:, si * n2 : (si + 1) * n2] = fir(si).astype(
+                    accb_ref.dtype
+                )
         # Stage A over the whole spectra block: 2 matmuls of
         # [N1, N1] @ [N1, s_blk·N2]; twiddles arrive pre-tiled.
         accd = accb_ref[:]
@@ -868,6 +904,7 @@ def _fengine_kernel_ct(
         "ct_xpipe",
         "quantise",
         "rolling_dtype",
+        "fir_tapouter",
     ),
 )
 def fengine_fused(
@@ -893,6 +930,7 @@ def fengine_fused(
     ct_xpipe: bool = False,
     quantise: bool = True,
     rolling_dtype: str = "bfloat16",
+    fir_tapouter: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -971,6 +1009,10 @@ def fengine_fused(
         raise ValueError(
             "quantise=False (f32 qualification output) needs the "
             "direct-CT kernel form"
+        )
+    if fir_tapouter and not (rolling and ct_batch_a and deint == "ct"):
+        raise ValueError(
+            "fir_tapouter needs the rolling batch-A direct-CT form"
         )
 
     batch = 1
@@ -1106,6 +1148,7 @@ def fengine_fused(
             xpipe=ct_xpipe,
             quantise=quantise,
             ring_dtype=jnp.dtype(rolling_dtype),
+            tap_outer=fir_tapouter,
         )
         if ct_xpipe:
             # Whole-batch output window: the cross-block carried tail
@@ -1125,9 +1168,12 @@ def fengine_fused(
             # f32 ring: conversion paid once per fresh sample instead of
             # on every tap read (the FIR reads each slot up to n_taps
             # times across grid steps); costs 2x the ring VMEM.
+            # Tap-outer FIR doubles the ring (slot f also at f+G) so
+            # wrapped windows are contiguous slices.
+            ring_groups = (2 if fir_tapouter else 1) * (s_blk + n_taps - 1)
             scratch_shapes.append(
                 pltpu.VMEM(
-                    (s_blk + n_taps - 1, n1, n2), jnp.dtype(rolling_dtype)
+                    (ring_groups, n1, n2), jnp.dtype(rolling_dtype)
                 )
             )
         if ct_batch_a:
