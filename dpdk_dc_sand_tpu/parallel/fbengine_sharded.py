@@ -501,8 +501,29 @@ def _sharded_fb_body(
 
     # 5. X stage: correlation needs all antenna pairs, so gather the
     # channel slice's voltages across the "ant" axis (the unavoidable
-    # all-pairs traffic), then integrate the local channels — plane-wise,
-    # same total ICI bytes as one stacked gather.
+    # all-pairs traffic), then integrate the local channels.
+    from dpdk_dc_sand_tpu.ops.xcorr_pallas import (
+        correlate_planes_fused,
+        xcorr_fused_supported,
+    )
+
+    a_loc = ar.shape[0]
+    a_full = a_loc * lax.psum(1, "ant")
+    pallas_ok = fengine_interpret or jax.default_backend() == "tpu"
+    if pallas_ok and xcorr_fused_supported(
+        a_full, cfg.n_pols, ar.shape[2], ar.shape[3]
+    ):
+        # Gather the int8 planes and run the one-pass Pallas visibility
+        # kernel (in-VMEM turn + stacked gram): no XLA transpose, no
+        # gram intermediates in HBM — same ICI bytes as the plane-wise
+        # gather below (identical data, different axis).
+        gr = lax.all_gather(ar, "ant", axis=0, tiled=True)
+        gi = lax.all_gather(ai, "ant", axis=0, tiled=True)
+        vre, vim = correlate_planes_fused(
+            gr, gi, interpret=fengine_interpret,
+            int8_mxu=not fengine_interpret,
+        )
+        return beams, vre, vim
     fr = lax.all_gather(xr, "ant", axis=3, tiled=True)
     fi = lax.all_gather(xi, "ant", axis=3, tiled=True)
     p, c_loc, s_full, a_full = fr.shape

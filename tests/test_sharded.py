@@ -321,3 +321,34 @@ def test_ici_chunks_validation():
         ShardedFBEngine(
             cfg, mesh, n_spectra=32, ici_chunks=2, emit_visibilities=True
         )
+
+
+def test_sharded_visibilities_fused_kernel_path(monkeypatch):
+    """The sharded X stage's Pallas visibility path (plane gather +
+    in-VMEM turn + gram) equals the transpose/gram fallback on the same
+    engine configuration (identical F planes on both sides)."""
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=512, n_beams=4, n_taps=4)
+    n_spectra = 512  # C_loc = 128, S = 512: fused-kernel geometry holds
+    kwargs = dict(
+        n_spectra=n_spectra, emit_visibilities=True, fengine_interpret=True
+    )
+    fused = ShardedFBEngine(cfg, mesh, **kwargs)
+    adc, fd, ph, dv = fused.example_inputs()
+    beams_f, vre_f, vim_f = fused(adc, fd, ph, dv)
+
+    import dpdk_dc_sand_tpu.ops.xcorr_pallas as xp
+
+    monkeypatch.setattr(xp, "xcorr_fused_supported", lambda *a: False)
+    fallback = ShardedFBEngine(cfg, mesh, **kwargs)
+    beams_w, vre_w, vim_w = fallback(adc, fd, ph, dv)
+
+    np.testing.assert_allclose(
+        np.asarray(beams_f), np.asarray(beams_w), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(vre_f), np.asarray(vre_w), rtol=1e-5, atol=0.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(vim_f), np.asarray(vim_w), rtol=1e-5, atol=0.5
+    )

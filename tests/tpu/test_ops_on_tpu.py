@@ -364,3 +364,101 @@ def test_fxb_fast_path_on_tpu():
     # Hermitian: vis[c] = X X^H  =>  re symmetric, im antisymmetric.
     assert float(jnp.abs(vre - jnp.swapaxes(vre, 1, 2)).max()) < 1e-3
     assert float(jnp.abs(vim + jnp.swapaxes(vim, 1, 2)).max()) < 1e-3
+
+
+def test_xcorr_kernels_exact_on_tpu():
+    """Round-4 visibility kernels on the real chip: X-layout Pallas
+    turn, turned grams, and the fused turn+gram kernel all equal the
+    int64 integer golden model exactly (int8-MXU and bf16 variants)."""
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes_x
+    from dpdk_dc_sand_tpu.ops.correlate import correlate_turned
+    from dpdk_dc_sand_tpu.ops.xcorr_pallas import (
+        correlate_planes_fused,
+        correlate_turned_fused,
+    )
+
+    A, P, S, C = 4, 2, 128, 256
+    qr = jnp.asarray(RNG.integers(-100, 100, (A, P, S, C), dtype=np.int8))
+    qi = jnp.asarray(RNG.integers(-100, 100, (A, P, S, C), dtype=np.int8))
+    r = np.asarray(qr).transpose(3, 0, 1, 2).reshape(C, A * P, S)
+    im = np.asarray(qi).transpose(3, 0, 1, 2).reshape(C, A * P, S)
+    r64, i64 = r.astype(np.int64), im.astype(np.int64)
+    want_re = np.einsum("cis,cjs->cij", r64, r64) + np.einsum(
+        "cis,cjs->cij", i64, i64
+    )
+    want_im = np.einsum("cis,cjs->cij", i64, r64) - np.einsum(
+        "cis,cjs->cij", r64, i64
+    )
+    wre = jnp.asarray(want_re.astype(np.float32))
+    wim = jnp.asarray(want_im.astype(np.float32))
+
+    xt = corner_turn_planes_x(qr, qi)
+    for name, (vre, vim) in {
+        "turned-xla-int8": correlate_turned(xt, A * P, "int8"),
+        "turned-kernel-bf16": correlate_turned_fused(xt, A * P),
+        "turned-kernel-int8": correlate_turned_fused(
+            xt, A * P, int8_mxu=True
+        ),
+        "fused-kernel-int8": correlate_planes_fused(qr, qi, int8_mxu=True),
+    }.items():
+        assert float(jnp.abs(vre - wre).max()) == 0.0, name
+        assert float(jnp.abs(vim - wim).max()) == 0.0, name
+
+
+def test_unquantised_fused_output_on_tpu():
+    """quantise=False (qualification mode) on the real chip matches the
+    composed float chain."""
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.golden.pfb import pfb_window
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
+    from dpdk_dc_sand_tpu.ops.pfb import pfb_channelise
+
+    C, taps, S = 512, 8, 8
+    FFT = 2 * C
+    frames = RNG.integers(-64, 64, (1, 1, S + taps - 1, FFT), dtype=np.int8)
+    w = jnp.asarray(np.asarray(pfb_window(taps, FFT)))
+    zero = jnp.zeros((1, 1), jnp.float32)
+    fr, fi = fengine_fused(
+        jnp.asarray(frames), w, zero, zero, n_channels=C, quant_scale=1.0,
+        dft_dtype="float32", quantise=False,
+    )
+    spec = pfb_channelise(
+        jnp.asarray(frames).reshape(1, 1, -1), w, n_channels=C,
+        use_pallas=False,
+    )
+    scale = float(jnp.abs(spec).max())
+    assert float(jnp.abs(fr - jnp.real(spec)).max()) / scale < 1e-5
+    assert float(jnp.abs(fi - jnp.imag(spec)).max()) / scale < 1e-5
+
+
+def test_tapouter_and_xpipe_bit_exact_on_tpu():
+    """Round-4 F-kernel variants (kept for the record): tap-outer FIR
+    and the cross-block carry schedule are bit-exact vs the production
+    pipelined schedule on the real chip."""
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.golden.pfb import pfb_window
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
+
+    C, taps, S = 1024, 4, 16
+    FFT = 2 * C
+    frames = jnp.asarray(
+        RNG.integers(-64, 64, (2, 2, S + taps - 1, FFT), dtype=np.int8)
+    )
+    w = jnp.asarray(np.asarray(pfb_window(taps, FFT)))
+    zero = jnp.zeros((2, 2), jnp.float32)
+    kw = dict(
+        n_channels=C, quant_scale=1.0 / 16.0, ct_batch_a=True,
+        rolling=True, ct_pipeline=2,
+    )
+    base_r, base_i = fengine_fused(frames, w, zero, zero, **kw)
+    for name, extra in {
+        "tapouter": dict(fir_tapouter=True),
+        "xpipe": dict(ct_xpipe=True),
+    }.items():
+        vr, vi = fengine_fused(frames, w, zero, zero, **kw, **extra)
+        assert float(jnp.abs(vr.astype(jnp.int32) - base_r).max()) == 0, name
+        assert float(jnp.abs(vi.astype(jnp.int32) - base_i).max()) == 0, name
