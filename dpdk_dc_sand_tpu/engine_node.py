@@ -265,25 +265,29 @@ class EngineNode(DeviceServer):
         self._udp_rx = UdpReceiver(bind, self.ring, group=group).start()
         return self._udp_rx
 
-    def attach_udp_egress(self, dest, scale: float | None = 0.25):
-        """Transmit beams as int8 SPEAD-lite heaps over UDP.
+    def attach_udp_egress(
+        self, dest, scale: float | None = 0.25, wire_format: str = "lite"
+    ):
+        """Transmit beams as int8 SPEAD heaps over UDP.
 
         Returns the sender; replaces ``on_beams``. When the node was built
         with ``beam_quant_scale`` the device already emits int8 beams and
         ``scale`` is ignored (payload ships as-is).
+        ``wire_format="spead64"`` ships real SPEAD-64-48 packets for
+        spead2 consumers (stream/spead64.py).
         """
         from dpdk_dc_sand_tpu.stream.feed import UdpBeamEgress
         from dpdk_dc_sand_tpu.stream.udp import UdpSender
 
-        self._udp_tx = UdpSender(dest)
+        self._udp_tx = UdpSender(dest, wire_format=wire_format)
         samples_per_chunk = self.fb.n_spectra * self.cfg.fft_size
         if self.beam_quant_scale is not None:
             scale = None
         self.on_beams = UdpBeamEgress(self._udp_tx, samples_per_chunk, scale)
         return self._udp_tx
 
-    def attach_udp_vis_egress(self, dest):
-        """Transmit integrated visibility dumps as SPEAD-lite UDP heaps.
+    def attach_udp_vis_egress(self, dest, wire_format: str = "lite"):
+        """Transmit integrated visibility dumps as SPEAD UDP heaps.
 
         Requires ``emit_visibilities=True``; replaces
         ``on_visibilities``. Returns the sender.
@@ -293,7 +297,7 @@ class EngineNode(DeviceServer):
 
         if self._vis_accum is None:
             raise RuntimeError("node was built without emit_visibilities")
-        self._udp_vis_tx = UdpSender(dest)
+        self._udp_vis_tx = UdpSender(dest, wire_format=wire_format)
         samples_per_chunk = self.fb.n_spectra * self.cfg.fft_size
         self.on_visibilities = UdpVisEgress(self._udp_vis_tx, samples_per_chunk)
         return self._udp_vis_tx

@@ -179,3 +179,45 @@ def plot_latency(
         fig.savefig(path, dpi=100, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def _main(argv=None) -> int:
+    """CLI: extract (capture_time, adc_timestamp) from a pcap and report
+    jitter — the packet_latency/extract_timestamps.py + plot_latency.py
+    workflow in one command. Writes an .npz compatible with the
+    reference tool's output (pkt_timestamps / adc_timestamps arrays).
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(
+        description="SPEAD packet latency/jitter from a pcap capture"
+    )
+    ap.add_argument("input", help="classic pcap file")
+    ap.add_argument("output", nargs="?", help="optional .npz output")
+    ap.add_argument("--plot", help="optional jitter plot (png)")
+    ap.add_argument(
+        "--adc-rate", type=float, default=1712e6, help="ADC sample rate"
+    )
+    ap.add_argument(
+        "--raw", action="store_true",
+        help="capture has no Eth/IP/UDP framing",
+    )
+    args = ap.parse_args(argv)
+    records = extract_timestamps(
+        read_pcap(args.input, strip_headers=not args.raw)
+    )
+    if args.output:
+        np.savez(
+            args.output,
+            pkt_timestamps=records[:, 0],
+            adc_timestamps=records[:, 1],
+        )
+    if args.plot:
+        plot_latency(records, args.adc_rate, path=args.plot)
+    print(json.dumps(latency_stats(records, args.adc_rate)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
