@@ -35,7 +35,7 @@ ADC_RATE_MSPS = 1712.0  # MeerKAT digitiser, Msamples/s per antenna-pol
 
 
 def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
-          beam_layout="split"):
+          beam_layout="split", **engine_kw):
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +44,7 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
     fb = FBEngine(
         cfg, n_spectra=n_spectra, fengine=fengine, precision="bf16",
         bstage=bstage, ct_batch_a=ct_batch_a, beam_layout=beam_layout,
+        **engine_kw,
     )
     # Enough trailing ADC margin that the engine takes the in-kernel
     # coarse-delay path (DMA row offsets + in-VMEM sub-row shift) instead
@@ -58,7 +59,8 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
         from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
 
         slack = coarse_margin_samples(
-            cfg.fft_size, cfg.n_taps, n_spectra, fb.ct_batch_a
+            cfg.fft_size, cfg.n_taps, n_spectra, fb.ct_batch_a,
+            fb.fengine_s_blk,
         )
         margin = (slack or 0) + budget
     else:
@@ -100,9 +102,9 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
 
 
 def measure(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
-            beam_layout="split"):
+            beam_layout="split", **engine_kw):
     chained, adc_d, fd_d, blocks = build(
-        cfg, n_spectra, fengine, bstage, ct_batch_a, beam_layout
+        cfg, n_spectra, fengine, bstage, ct_batch_a, beam_layout, **engine_kw
     )
     r2, r6 = chained(2), chained(6)
     float(r2(adc_d, fd_d, blocks))  # compile
@@ -136,6 +138,11 @@ def main() -> None:
         # S=256 amortises per-batch boundary work (ring reload, grid
         # edges): +6% over S=128 same-run (23.25 vs 21.91 Gs/s,
         # 2026-08-21).
+        # s_blk=16 + 8-way rotation (needs the raised VMEM cap): round-3
+        # measured it within jitter of the default F-only; in the full
+        # step the attempt ladder lets the measured-best win.
+        (flagship, 256, "fused", True, "fused", "natural",
+         dict(fengine_s_blk=16, fengine_vmem_mb=96, fengine_pipeline=8)),
         (flagship, 256, "fused", True, "fused", "natural"),
         (flagship, 128, "fused", True, "fused", "natural"),
         (flagship, 128, "fused", True, "turned", "natural"),
@@ -149,14 +156,24 @@ def main() -> None:
         (ArrayConfig(n_ants=16, n_channels=1024, n_beams=16, n_taps=16), 64, "xla", False, "planar", "split"),
     ]
     value, used = None, None
-    for cfg, n_spectra, fengine, batch_a, bstage, layout in attempts:
+    #: The first N attempts are tuning CONTENDERS at the same geometry:
+    #: measure all that run and keep the fastest (a first-success break
+    #: would let a slower tuning variant shadow the default).
+    contenders = 2
+    for idx, (cfg, n_spectra, fengine, batch_a, bstage, layout, *extra) in (
+        enumerate(attempts)
+    ):
         try:
-            value = measure(cfg, n_spectra, fengine, bstage=bstage,
-                            ct_batch_a=batch_a, beam_layout=layout)
-            used = (cfg, n_spectra)
-            break
+            v = measure(cfg, n_spectra, fengine, bstage=bstage,
+                        ct_batch_a=batch_a, beam_layout=layout,
+                        **(extra[0] if extra else {}))
         except Exception as e:  # OOM / unsupported: fall back smaller
             print(f"# bench config failed ({type(e).__name__}); falling back", flush=True)
+            continue
+        if value is None or v > value:
+            value, used = v, (cfg, n_spectra)
+        if idx >= contenders - 1 and value is not None:
+            break
     if value is None:
         raise SystemExit("all bench configs failed")
     cfg, n_spectra = used

@@ -153,6 +153,8 @@ class FBEngine:
         fengine_rolling: bool | str = "auto",
         beam_layout: str = "split",
         fengine_pipeline: bool | str = "auto",
+        fengine_s_blk: int | None = None,
+        fengine_vmem_mb: int | None = None,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -208,6 +210,10 @@ class FBEngine:
         self.fengine_pipeline = (
             2 if fengine_pipeline is True else int(fengine_pipeline)
         )
+        #: Kernel-tuning overrides (spectra block / VMEM cap); None =
+        #: the kernel's measured defaults.
+        self.fengine_s_blk = fengine_s_blk
+        self.fengine_vmem_mb = fengine_vmem_mb
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -245,6 +251,8 @@ class FBEngine:
                 fengine_rolling=self.fengine_rolling,
                 beam_layout=beam_layout,
                 fengine_pipeline=self.fengine_pipeline,
+                fengine_s_blk=fengine_s_blk,
+                fengine_vmem_mb=fengine_vmem_mb,
             )
         )
         self.beam_layout = beam_layout
@@ -404,6 +412,8 @@ def _f_stage(
     ct_batch_a: bool = False,
     fengine_rolling: bool = False,
     fengine_pipeline: bool = False,
+    fengine_s_blk: int | None = None,
+    fengine_vmem_mb: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared F stage: coarse delay + PFB + fine delay + requantise.
 
@@ -433,9 +443,11 @@ def _f_stage(
             ct_batch_a=ct_batch_a,
             rolling=fengine_rolling,
             ct_pipeline=fengine_pipeline,
+            s_blk=fengine_s_blk,
+            vmem_limit_mb=fengine_vmem_mb,
         )
         margin_need = coarse_margin_samples(
-            cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a
+            cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a, fengine_s_blk
         )
         if (
             margin_need is not None
@@ -602,6 +614,8 @@ def _fb_step(
     fengine_rolling: bool = False,
     beam_layout: str = "split",
     fengine_pipeline: bool = False,
+    fengine_s_blk: int | None = None,
+    fengine_vmem_mb: int | None = None,
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -618,6 +632,8 @@ def _fb_step(
         ct_batch_a=ct_batch_a,
         fengine_rolling=fengine_rolling,
         fengine_pipeline=fengine_pipeline,
+        fengine_s_blk=fengine_s_blk,
+        fengine_vmem_mb=fengine_vmem_mb,
     )
     return _b_stage(
         qr,

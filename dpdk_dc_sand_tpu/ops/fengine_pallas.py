@@ -158,7 +158,11 @@ def _pick_s_blk(n_spectra: int, cap: int = _S_BLK_MAX) -> int:
 
 
 def coarse_margin_samples(
-    fft_size: int, n_taps: int, n_spectra: int, ct_batch_a: bool = False
+    fft_size: int,
+    n_taps: int,
+    n_spectra: int,
+    ct_batch_a: bool = False,
+    s_blk: int | None = None,
 ) -> int | None:
     """Trailing ADC margin (samples) the in-kernel coarse delay needs
     BEYOND the largest coarse delay (DMA padding slack).
@@ -173,7 +177,7 @@ def coarse_margin_samples(
     mode, n1, n2 = _deint_mode(n)
     if mode != "ct":
         return None
-    s_blk = _pick_s_blk(n_spectra, 8 if ct_batch_a else _S_BLK_MAX)
+    s_blk = _pick_s_blk(n_spectra, s_blk or (8 if ct_batch_a else _S_BLK_MAX))
     pad = _coarse_pad_rows((s_blk + n_taps - 1) * n1)
     fresh = _coarse_pad_rows(s_blk * n1)
     return max(pad, fresh) * n2
