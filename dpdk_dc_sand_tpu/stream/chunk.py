@@ -31,6 +31,7 @@ class StreamStats:
     consumed: int = 0
     dropped: int = 0  # overruns at the producer (ring full)
     lost: int = 0  # sequence gaps observed at the consumer
+    malformed: int = 0  # chunks rejected at ingest (bad size/content)
     bytes: int = 0
     last_seq: int = -1
 

@@ -100,7 +100,16 @@ class DeviceFeed:
                 time.sleep(50e-6)  # idle wait (epoll analog, dpdk_recv.cpp:230-244)
                 continue
             view, seq = item
-            host = np.array(self.reshape(view))  # copy out of the slot
+            try:
+                host = np.array(self.reshape(view))  # copy out of the slot
+            except Exception:  # noqa: BLE001 - malformed chunk must not
+                # kill the feed thread: a wrong-sized or corrupt chunk is
+                # a data-plane fault to ACCOUNT (the drop-counter
+                # discipline, ibverbs_rx.c:303-319), not a crash. The
+                # slot is released and the stream continues.
+                self.stats.malformed += 1
+                self.ring.release_read()
+                continue
             self.ring.release_read()
             arr = (
                 jax.device_put(host, self.device)
