@@ -98,6 +98,11 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.rb_count_consumed.argtypes = [vp]
 
     lib.sp_header_bytes.restype = u64
+    lib.sp64_header_bytes.restype = u64
+    lib.sp64_packetize.restype = u64
+    lib.sp64_packetize.argtypes = [
+        p8, u64, u64, u64, ctypes.c_uint32, u64, p8, u64,
+    ]
     lib.sp_packetize.restype = u64
     lib.sp_packetize.argtypes = [p8, u64, u64, u64, u32, u64, p8, u64]
     lib.sp_parse_header.restype = ctypes.c_int

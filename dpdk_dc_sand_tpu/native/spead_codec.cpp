@@ -136,3 +136,79 @@ std::uint64_t sp_check_pattern(const std::uint64_t* words,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------------
+// Real SPEAD-64-48 (stream/spead64.py contract): 8-byte header +
+// seven big-endian 64-bit item pointers per packet + payload slice.
+// Native hot path for spead2-interoperable egress at rate.
+// ------------------------------------------------------------------
+namespace {
+
+constexpr std::size_t kSp64HeaderBytes = 8 + 7 * 8;
+constexpr int kAddrBits = 48;
+constexpr std::uint64_t kAddrMask = (1ULL << kAddrBits) - 1;
+constexpr std::uint64_t kImmediate = 1ULL << 63;
+
+inline void put_be64(std::uint8_t* p, std::uint64_t v) {
+  for (int i = 7; i >= 0; --i) {
+    p[i] = static_cast<std::uint8_t>(v & 0xFF);
+    v >>= 8;
+  }
+}
+
+inline void put_ptr(std::uint8_t* p, bool imm, std::uint16_t id,
+                    std::uint64_t value) {
+  std::uint64_t ptr = (static_cast<std::uint64_t>(id) << kAddrBits) |
+                      (value & kAddrMask);
+  if (imm) ptr |= kImmediate;
+  put_be64(p, ptr);
+}
+
+}  // namespace
+
+extern "C" {
+
+std::uint64_t sp64_header_bytes() { return kSp64HeaderBytes; }
+
+// SPEAD-64-48 packetize: same calling convention as sp_packetize.
+// Every packet repeats the full pointer set (heap cnt/size, this
+// packet's offset/length, immediate timestamp 0x1600 and frequency
+// 0x4103, addressed feng_raw 0x4300) so capture tools read the
+// timestamp off any packet.
+std::uint64_t sp64_packetize(const std::uint8_t* payload,
+                             std::uint64_t heap_len, std::uint64_t heap_id,
+                             std::uint64_t timestamp,
+                             std::uint32_t channel_offset,
+                             std::uint64_t mtu_payload, std::uint8_t* out,
+                             std::uint64_t out_stride) {
+  if (!payload || !out || mtu_payload == 0 ||
+      out_stride < kSp64HeaderBytes + mtu_payload)
+    return 0;
+  std::uint64_t n = (heap_len + mtu_payload - 1) / mtu_payload;
+  if (n == 0) n = 1;
+  for (std::uint64_t i = 0; i < n; ++i) {
+    std::uint64_t off = i * mtu_payload;
+    std::uint64_t len = heap_len - off < mtu_payload ? heap_len - off
+                                                     : mtu_payload;
+    std::uint8_t* dst = out + i * out_stride;
+    dst[0] = 0x53;  // magic
+    dst[1] = 4;     // version
+    dst[2] = 8;     // item pointer width (bytes)
+    dst[3] = 6;     // heap address width (bytes)
+    dst[4] = dst[5] = 0;
+    dst[6] = 0;
+    dst[7] = 7;  // item pointer count (big-endian u16)
+    std::uint8_t* p = dst + 8;
+    put_ptr(p + 0 * 8, true, 0x01, heap_id);          // heap counter
+    put_ptr(p + 1 * 8, true, 0x02, heap_len);         // heap size
+    put_ptr(p + 2 * 8, true, 0x03, off);              // payload offset
+    put_ptr(p + 3 * 8, true, 0x04, len);              // payload length
+    put_ptr(p + 4 * 8, true, 0x1600, timestamp);      // ADC timestamp
+    put_ptr(p + 5 * 8, true, 0x4103, channel_offset); // frequency
+    put_ptr(p + 6 * 8, false, 0x4300, 0);             // feng_raw @ 0
+    std::memcpy(dst + kSp64HeaderBytes, payload + off, len);
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -85,10 +85,39 @@ def packetize64(
     packet's payload offset/length, the immediate timestamp and
     frequency, and the addressed raw-data item — so any single packet
     identifies its heap and instant (extract_timestamps.py:21-31).
+    Native fast path (spead_codec.cpp ``sp64_packetize``) when the
+    toolchain is available; byte-identical pure-Python fallback.
     """
     flat = np.ascontiguousarray(payload).view(np.uint8).ravel()
     total = flat.nbytes
     n = max(1, -(-total // mtu_payload))
+
+    from dpdk_dc_sand_tpu.native import load_native
+
+    lib = load_native()
+    if lib is not None:
+        import ctypes
+
+        hdr = int(lib.sp64_header_bytes())
+        stride = hdr + mtu_payload
+        out = np.empty(n * stride, np.uint8)
+        wrote = lib.sp64_packetize(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            flat.nbytes,
+            heap_cnt,
+            timestamp,
+            channel_offset,
+            mtu_payload,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            stride,
+        )
+        if wrote == n:
+            pkts = []
+            for i in range(n):
+                off = i * stride
+                plen = min(mtu_payload, max(flat.nbytes - i * mtu_payload, 0))
+                pkts.append(out[off : off + hdr + plen].tobytes())
+            return pkts
     pkts = []
     for i in range(n):
         off = i * mtu_payload

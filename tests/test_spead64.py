@@ -194,3 +194,26 @@ def test_parse_rejects_foreign_packets():
     # Wrong flavour (32-bit pointers) rejected.
     bad = bytes([0x53, 4, 4, 2, 0, 0, 0, 0])
     assert parse_packet64(bad) is None
+
+
+def test_native_packetizer_byte_identical(monkeypatch):
+    """The C sp64_packetize fast path emits byte-identical packets to
+    the pure-Python codec (skipped when no toolchain)."""
+    from dpdk_dc_sand_tpu import native as nat
+    from dpdk_dc_sand_tpu.stream import spead64 as s64
+
+    if nat.load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    payload = np.random.default_rng(1).integers(
+        0, 256, 5000, dtype=np.uint8
+    )
+    kwargs = dict(
+        heap_cnt=3, timestamp=0x123456789AB, channel_offset=77,
+        mtu_payload=512,
+    )
+    fast = s64.packetize64(payload, **kwargs)
+    monkeypatch.setattr(
+        "dpdk_dc_sand_tpu.native.load_native", lambda: None
+    )
+    pure = s64.packetize64(payload, **kwargs)
+    assert fast == pure
