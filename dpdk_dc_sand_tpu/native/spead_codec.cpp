@@ -170,6 +170,53 @@ extern "C" {
 
 std::uint64_t sp64_header_bytes() { return kSp64HeaderBytes; }
 
+// Parse one SPEAD-64-48 packet (any pointer count/order). Returns 1 on
+// success; 0 when the packet is not this flavour, malformed, or a
+// stream-control packet. ``header_bytes`` reports where the payload
+// starts (8 + 8*n_items).
+int sp64_parse(const std::uint8_t* pkt, std::uint64_t pkt_len,
+               std::uint64_t* heap_id, std::uint64_t* timestamp,
+               std::uint32_t* channel_offset, std::uint64_t* payload_off,
+               std::uint32_t* payload_len, std::uint32_t* heap_len,
+               std::uint32_t* header_bytes) {
+  if (!pkt || pkt_len < 8) return 0;
+  if (pkt[0] != 0x53 || pkt[1] != 4 || pkt[2] != 8 || pkt[3] != 6) return 0;
+  std::uint32_t n_items =
+      (static_cast<std::uint32_t>(pkt[6]) << 8) | pkt[7];
+  std::uint64_t hdr = 8 + 8ull * n_items;
+  if (pkt_len < hdr) return 0;
+  std::uint64_t hid = ~0ull, ts = 0, freq = 0, off = 0;
+  std::uint64_t hlen = ~0ull, plen = ~0ull;
+  for (std::uint32_t i = 0; i < n_items; ++i) {
+    std::uint64_t ptr = 0;
+    const std::uint8_t* p = pkt + 8 + 8ull * i;
+    for (int b = 0; b < 8; ++b) ptr = (ptr << 8) | p[b];
+    std::uint16_t id = static_cast<std::uint16_t>((ptr >> 48) & 0x7FFF);
+    std::uint64_t value = ptr & ((1ULL << 48) - 1);
+    switch (id) {
+      case 0x01: hid = value; break;
+      case 0x02: hlen = value; break;
+      case 0x03: off = value; break;
+      case 0x04: plen = value; break;
+      case 0x06: return 0;  // stream control: not a data packet
+      case 0x1600: ts = value; break;
+      case 0x4103: freq = value; break;
+      default: break;
+    }
+  }
+  if (hid == ~0ull || hlen == ~0ull) return 0;
+  if (plen == ~0ull) plen = pkt_len - hdr;
+  if (hdr + plen > pkt_len) return 0;
+  *heap_id = hid;
+  *timestamp = ts;
+  *channel_offset = static_cast<std::uint32_t>(freq);
+  *payload_off = off;
+  *payload_len = static_cast<std::uint32_t>(plen);
+  *heap_len = static_cast<std::uint32_t>(hlen);
+  *header_bytes = static_cast<std::uint32_t>(hdr);
+  return 1;
+}
+
 // SPEAD-64-48 packetize: same calling convention as sp_packetize.
 // Every packet repeats the full pointer set (heap cnt/size, this
 // packet's offset/length, immediate timestamp 0x1600 and frequency

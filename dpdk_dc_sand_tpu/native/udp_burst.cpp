@@ -72,6 +72,11 @@ int sp_parse_header(const std::uint8_t* pkt, std::uint64_t pkt_len,
                     std::uint32_t* channel_offset, std::uint16_t* packet_idx,
                     std::uint16_t* n_packets, std::uint32_t* payload_len,
                     std::uint32_t* heap_len);
+int sp64_parse(const std::uint8_t* pkt, std::uint64_t pkt_len,
+               std::uint64_t* heap_id, std::uint64_t* timestamp,
+               std::uint32_t* channel_offset, std::uint64_t* payload_off,
+               std::uint32_t* payload_len, std::uint32_t* heap_len,
+               std::uint32_t* header_bytes);
 }
 
 namespace {
@@ -343,8 +348,7 @@ struct Reasm {
   std::uint64_t cur_timestamp = 0;
   std::uint32_t cur_channel_offset = 0;
   std::uint32_t cur_heap_len = 0;
-  std::uint16_t cur_n_packets = 0;
-  std::uint16_t cur_received = 0;
+  std::uint64_t cur_received = 0;  // payload bytes assembled
   std::uint64_t dropped_heap = ~0ull;  // ring-full heap id (count once)
   std::atomic<std::uint64_t> heaps_done{0};
   std::atomic<std::uint64_t> ring_drops{0};
@@ -366,12 +370,21 @@ struct Receiver {
 };
 
 void feed_packet(Reasm* rx, const std::uint8_t* pkt, std::uint64_t len) {
-  std::uint64_t heap_id, timestamp;
-  std::uint32_t channel_offset, payload_len, heap_len;
+  // Dual-stack ingest: SPEAD-lite fast path, real SPEAD-64-48 second
+  // (the Python UdpReceiver has the same per-packet dispatch). Both
+  // normalise to (heap, payload offset/len, totals); completion is
+  // byte-counted so the formats share one state machine.
+  std::uint64_t heap_id, timestamp, off;
+  std::uint32_t channel_offset, payload_len, heap_len, hdr_bytes;
   std::uint16_t packet_idx, n_packets;
-  if (!sp_parse_header(pkt, len, &heap_id, &timestamp, &channel_offset,
-                       &packet_idx, &n_packets, &payload_len, &heap_len))
+  if (sp_parse_header(pkt, len, &heap_id, &timestamp, &channel_offset,
+                      &packet_idx, &n_packets, &payload_len, &heap_len)) {
+    off = static_cast<std::uint64_t>(packet_idx) * rx->mtu_payload;
+    hdr_bytes = static_cast<std::uint32_t>(sp_header_bytes());
+  } else if (!sp64_parse(pkt, len, &heap_id, &timestamp, &channel_offset,
+                         &off, &payload_len, &heap_len, &hdr_bytes)) {
     return;
+  }
   if (heap_len > rx->slot_bytes - 16) return;  // cannot ever deliver
   if (heap_id != rx->cur_heap) {
     if (heap_id == rx->dropped_heap) return;  // ring was full for this heap
@@ -391,19 +404,16 @@ void feed_packet(Reasm* rx, const std::uint8_t* pkt, std::uint64_t len) {
     rx->cur_timestamp = timestamp;
     rx->cur_channel_offset = channel_offset;
     rx->cur_heap_len = heap_len;
-    rx->cur_n_packets = n_packets;
-    rx->cur_received = 0;
+    rx->cur_received = 0;  // bytes
     // Ring slot layout matches stream.udp.UdpReceiver._deliver: a
     // 16-byte little-endian (timestamp, channel_offset) prefix.
     std::uint64_t meta[2] = {timestamp, channel_offset};
     std::memcpy(slot, meta, 16);
   }
-  std::uint64_t off =
-      static_cast<std::uint64_t>(packet_idx) * rx->mtu_payload;
   if (off + payload_len > rx->cur_heap_len) return;
-  std::memcpy(rx->cur_slot + 16 + off, pkt + sp_header_bytes(), payload_len);
-  rx->cur_received++;
-  if (rx->cur_received == rx->cur_n_packets) {
+  std::memcpy(rx->cur_slot + 16 + off, pkt + hdr_bytes, payload_len);
+  rx->cur_received += payload_len;
+  if (rx->cur_received >= rx->cur_heap_len) {
     rb_commit_write(rx->ring, 16 + rx->cur_heap_len, rx->cur_heap);
     rx->heaps_done.fetch_add(1, std::memory_order_relaxed);
     rx->cur_heap = ~0ull;

@@ -156,3 +156,53 @@ def test_burst_sender_stats_accumulate():
         rx.stop()
         tx.close()
         ring.close()
+
+
+def test_native_receiver_dual_stack_spead64():
+    """The C reassembly ingests real SPEAD-64-48 and SPEAD-lite heaps on
+    one port (byte-counted completion shared across formats)."""
+    import time
+
+    import numpy as np
+
+    from dpdk_dc_sand_tpu.stream.chunk import Chunk
+    from dpdk_dc_sand_tpu.stream.ring import ChunkRing
+    from dpdk_dc_sand_tpu.stream.udp import UdpReceiver, UdpSender
+    from dpdk_dc_sand_tpu.stream.udp_native import (
+        BurstUdpReceiver,
+        burst_available,
+    )
+
+    if not burst_available():
+        pytest.skip("native toolchain unavailable")
+    ring = ChunkRing(8, 1 << 20, native=True)
+    rx = BurstUdpReceiver(("127.0.0.1", 0), ring, mtu_payload=1024)
+    try:
+        rng = np.random.default_rng(2)
+        pa = rng.integers(0, 256, 8192, dtype=np.uint8)
+        pb = rng.integers(0, 256, 8192, dtype=np.uint8)
+        tx64 = UdpSender(("127.0.0.1", rx.port), mtu_payload=1024,
+                         wire_format="spead64")
+        txl = UdpSender(("127.0.0.1", rx.port), mtu_payload=1024)
+        tx64.send_chunk(Chunk(pa, seq=1, timestamp=11, channel_offset=5))
+        txl.send_chunk(Chunk(pb, seq=2, timestamp=22, channel_offset=6))
+        got = {}
+        deadline = time.time() + 5
+        while len(got) < 2 and time.time() < deadline:
+            item = ring.acquire_read()
+            if item is None:
+                time.sleep(0.01)
+                continue
+            view, seq = item
+            c = UdpReceiver.unpack(view)
+            got[seq] = (c.timestamp, c.channel_offset, np.array(c.payload))
+            ring.release_read()
+        assert got[1][0] == 11
+        np.testing.assert_array_equal(got[1][2], pa)
+        assert got[2][0] == 22
+        np.testing.assert_array_equal(got[2][2], pb)
+        tx64.close()
+        txl.close()
+    finally:
+        rx.stop()
+        ring.close()
