@@ -151,6 +151,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     # AF_XDP engine (xdp_burst.cpp)
     lib.xsk_sender_create.restype = vp
     lib.xsk_sender_create.argtypes = [cs, cs, cs, u16, u16, u64]
+    lib.xsk_sender_create_fmt.restype = vp
+    lib.xsk_sender_create_fmt.argtypes = [cs, cs, cs, u16, u16, u64, ctypes.c_int]
     lib.xsk_send_chunk.restype = ctypes.c_longlong
     lib.xsk_send_chunk.argtypes = [vp, p8, u64, u64, u64, u32]
     lib.xsk_sender_stats.argtypes = [vp, ctypes.POINTER(u64), ctypes.POINTER(u64)]

@@ -258,4 +258,14 @@ std::uint64_t sp64_packetize(const std::uint8_t* payload,
   return n;
 }
 
+// Rewrite the heap-size (pointer 1) and payload-offset (pointer 2)
+// items of a packet produced by a single-slice sp64_packetize call so
+// it becomes fragment ``payload_off`` of a ``heap_len``-byte heap —
+// the per-packet staging pattern of the burst/XDP TX engines.
+void sp64_patch_fragment(std::uint8_t* pkt, std::uint64_t heap_len,
+                         std::uint64_t payload_off) {
+  put_ptr(pkt + 8 + 1 * 8, true, 0x02, heap_len);
+  put_ptr(pkt + 8 + 2 * 8, true, 0x03, payload_off);
+}
+
 }  // extern "C"

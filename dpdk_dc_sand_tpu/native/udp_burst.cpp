@@ -77,6 +77,15 @@ int sp64_parse(const std::uint8_t* pkt, std::uint64_t pkt_len,
                std::uint32_t* channel_offset, std::uint64_t* payload_off,
                std::uint32_t* payload_len, std::uint32_t* heap_len,
                std::uint32_t* header_bytes);
+std::uint64_t sp64_header_bytes();
+std::uint64_t sp64_packetize(const std::uint8_t* payload,
+                             std::uint64_t heap_len, std::uint64_t heap_id,
+                             std::uint64_t timestamp,
+                             std::uint32_t channel_offset,
+                             std::uint64_t mtu_payload, std::uint8_t* out,
+                             std::uint64_t out_stride);
+void sp64_patch_fragment(std::uint8_t* pkt, std::uint64_t heap_len,
+                         std::uint64_t payload_off);
 }
 
 namespace {
@@ -90,6 +99,9 @@ enum Mode { kModeBurst = 0, kModeGso = 1, kModeUring = 2 };
 // (kernel flow-hashes by 4-tuple, so every heap's packets — one TX
 // socket each — land wholly on one worker; the multi-queue RSS analog).
 constexpr int kFlagReusePort = 0x100;
+// OR'd into the sender mode: emit real SPEAD-64-48 packets instead of
+// SPEAD-lite (stream/spead64.py wire contract; RX is dual-stack).
+constexpr int kFlagWire64 = 0x200;
 
 bool is_multicast(const char* ip) {
   in_addr a{};
@@ -198,6 +210,8 @@ struct Sender {
   int mode = kModeBurst;
   std::uint64_t mtu_payload = 0;
   std::uint64_t stride = 0;        // header + mtu_payload per staged packet
+  std::uint64_t hdr_bytes = 0;     // per-packet wire header size
+  int wire = 0;                    // 0 = SPEAD-lite, 1 = SPEAD-64-48
   int stage_packets = kBurst;      // stage arena capacity
   int gso_segs = 1;                // packets per GSO super-datagram
   std::uint8_t* stage = nullptr;
@@ -222,6 +236,14 @@ std::uint64_t stage_packets(Sender* s, const std::uint8_t* payload,
     std::uint64_t len = heap_len - off < s->mtu_payload ? heap_len - off
                                                         : s->mtu_payload;
     std::uint8_t* dst = s->stage + i * s->stride;
+    if (s->wire) {
+      sp64_packetize(payload + off, len, heap_id, timestamp, channel_offset,
+                     s->mtu_payload, dst, s->stride);
+      sp64_patch_fragment(dst, heap_len, off);
+      lens[i] = s->hdr_bytes + len;
+      staged += lens[i];
+      continue;
+    }
     sp_packetize(payload + off, len, heap_id, timestamp, channel_offset,
                  s->mtu_payload, dst, s->stride);
     // Patch packet_idx (offset 24) / n_packets (26) / heap_len (32): the
@@ -232,7 +254,7 @@ std::uint64_t stage_packets(Sender* s, const std::uint8_t* payload,
     std::memcpy(dst + 24, &idx16, 2);
     std::memcpy(dst + 26, &n16, 2);
     std::memcpy(dst + 32, &hl32, 4);
-    lens[i] = sp_header_bytes() + len;
+    lens[i] = s->hdr_bytes + len;
     staged += lens[i];
   }
   return staged;
@@ -538,6 +560,8 @@ extern "C" {
 void* ub_sender_create_mode(const char* ip, std::uint16_t port,
                             std::uint64_t mtu_payload, int mode) {
   if (!ip || mtu_payload == 0) return nullptr;
+  const int wire = (mode & kFlagWire64) ? 1 : 0;
+  mode &= 0xFF;
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return nullptr;
   sockaddr_in dst{};
@@ -562,8 +586,10 @@ void* ub_sender_create_mode(const char* ip, std::uint16_t port,
   }
   s->fd = fd;
   s->mode = mode;
+  s->wire = wire;
   s->mtu_payload = mtu_payload;
-  s->stride = sp_header_bytes() + mtu_payload;
+  s->hdr_bytes = wire ? sp64_header_bytes() : sp_header_bytes();
+  s->stride = s->hdr_bytes + mtu_payload;
   if (mode == kModeGso) {
     int seg = static_cast<int>(s->stride);
     if (s->stride > kGsoMax ||
@@ -719,9 +745,13 @@ void* ub_receiver_create_mode(const char* bind_ip, std::uint16_t port,
   rx->reasm.mtu_payload = mtu_payload;
   rx->reasm.ring = ring;
   rx->reasm.slot_bytes = rb_slot_bytes(ring);
-  // GRO delivers up to 64 KB coalesced buffers; plain modes one packet.
-  rx->buf_cap = mode == kModeGso ? (64 << 10)
-                                 : sp_header_bytes() + mtu_payload;
+  // GRO delivers up to 64 KB coalesced buffers; plain modes one packet
+  // sized for the LARGER of the two wire headers (SPEAD-64-48 is 64 B
+  // vs SPEAD-lite's 40 B — a lite-sized buffer would silently truncate
+  // spead64 datagrams and the parse would reject every packet).
+  std::uint64_t hdr_max = sp_header_bytes();
+  if (sp64_header_bytes() > hdr_max) hdr_max = sp64_header_bytes();
+  rx->buf_cap = mode == kModeGso ? (64 << 10) : hdr_max + mtu_payload;
   int n_bufs = mode == kModeUring ? kUringDepth / 2 : kBurst;
   rx->pkt_arena =
       static_cast<std::uint8_t*>(std::malloc(n_bufs * rx->buf_cap));

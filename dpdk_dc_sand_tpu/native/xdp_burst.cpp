@@ -57,6 +57,15 @@ std::uint64_t sp_packetize(const std::uint8_t* payload, std::uint64_t heap_len,
                            std::uint32_t channel_offset,
                            std::uint64_t mtu_payload, std::uint8_t* out,
                            std::uint64_t out_stride);
+std::uint64_t sp64_header_bytes();
+std::uint64_t sp64_packetize(const std::uint8_t* payload,
+                             std::uint64_t heap_len, std::uint64_t heap_id,
+                             std::uint64_t timestamp,
+                             std::uint32_t channel_offset,
+                             std::uint64_t mtu_payload, std::uint8_t* out,
+                             std::uint64_t out_stride);
+void sp64_patch_fragment(std::uint8_t* pkt, std::uint64_t heap_len,
+                         std::uint64_t payload_off);
 }
 
 namespace {
@@ -168,6 +177,8 @@ struct XskSender {
   Umem umem;
   XskRing tx, comp;
   std::uint64_t mtu_payload = 0;
+  int wire = 0;  // 0 = SPEAD-lite, 1 = SPEAD-64-48
+  std::uint64_t hdr_bytes = 0;
   std::uint32_t src_ip = 0, dst_ip = 0;
   std::uint16_t src_port = 0, dst_port = 0;
   // Explicit free-frame stack recycled from completion-ring entries.
@@ -234,11 +245,13 @@ extern "C" {
 int xsk_last_fail_stage() { return g_xsk_fail_stage; }
 int xsk_last_fail_errno() { return g_xsk_fail_errno; }
 
-void* xsk_sender_create(const char* ifname, const char* src_ip,
-                        const char* dst_ip, std::uint16_t src_port,
-                        std::uint16_t dst_port, std::uint64_t mtu_payload) {
+void* xsk_sender_create_fmt(const char* ifname, const char* src_ip,
+                            const char* dst_ip, std::uint16_t src_port,
+                            std::uint16_t dst_port,
+                            std::uint64_t mtu_payload, int wire_fmt) {
   if (!ifname || !src_ip || !dst_ip || mtu_payload == 0) return nullptr;
-  std::uint64_t wire = kWireHdr + sp_header_bytes() + mtu_payload;
+  std::uint64_t hdr = wire_fmt ? sp64_header_bytes() : sp_header_bytes();
+  std::uint64_t wire = kWireHdr + hdr + mtu_payload;
   unsigned ifindex = if_nametoindex(ifname);
   if (wire > kFrameSize || ifindex == 0) { xsk_fail(1); return nullptr; }
   int fd = socket(AF_XDP, SOCK_RAW, 0);
@@ -250,6 +263,8 @@ void* xsk_sender_create(const char* ifname, const char* src_ip,
   }
   s->fd = fd;
   s->mtu_payload = mtu_payload;
+  s->wire = wire_fmt;
+  s->hdr_bytes = hdr;
   inet_pton(AF_INET, src_ip, &s->src_ip);
   inet_pton(AF_INET, dst_ip, &s->dst_ip);
   s->src_port = src_port;
@@ -281,6 +296,13 @@ void* xsk_sender_create(const char* ifname, const char* src_ip,
   return s;
 }
 
+void* xsk_sender_create(const char* ifname, const char* src_ip,
+                        const char* dst_ip, std::uint16_t src_port,
+                        std::uint16_t dst_port, std::uint64_t mtu_payload) {
+  return xsk_sender_create_fmt(ifname, src_ip, dst_ip, src_port, dst_port,
+                               mtu_payload, 0);
+}
+
 // Packetize one chunk into UMEM frames and transmit via the TX ring in
 // kTxBurst kicks (the 64-WRs-per-post pattern, ibverbs_tx.c:255-262).
 // Blocking backpressure on ring space. Returns packets sent or -1.
@@ -293,7 +315,7 @@ long long xsk_send_chunk(void* handle, const std::uint8_t* payload,
   if (heap_len == 0) return 0;  // sp_packetize emits nothing for n=0
   std::uint64_t total = (heap_len + s->mtu_payload - 1) / s->mtu_payload;
   if (total > 0xFFFF) return -1;
-  std::uint64_t hdr = sp_header_bytes();
+  std::uint64_t hdr = s->hdr_bytes;
   auto* descs = static_cast<xdp_desc*>(s->tx.desc);
   std::uint64_t sent_bytes = 0;
   std::uint64_t pkt = 0;
@@ -328,15 +350,24 @@ long long xsk_send_chunk(void* handle, const std::uint8_t* payload,
           static_cast<std::uint16_t>(hdr + plen);
       build_headers(f, s->src_ip, s->dst_ip, s->src_port, s->dst_port,
                     udp_payload);
-      sp_packetize(payload + poff, plen, heap_id, timestamp, channel_offset,
-                   s->mtu_payload, f + kWireHdr, kFrameSize - kWireHdr);
-      // Patch multi-packet heap fields (cf. stage_packets, udp_burst.cpp).
-      std::uint16_t idx16 = static_cast<std::uint16_t>(idx);
-      std::uint16_t n16 = static_cast<std::uint16_t>(total);
-      std::uint32_t hl32 = static_cast<std::uint32_t>(heap_len);
-      std::memcpy(f + kWireHdr + 24, &idx16, 2);
-      std::memcpy(f + kWireHdr + 26, &n16, 2);
-      std::memcpy(f + kWireHdr + 32, &hl32, 4);
+      if (s->wire) {
+        sp64_packetize(payload + poff, plen, heap_id, timestamp,
+                       channel_offset, s->mtu_payload, f + kWireHdr,
+                       kFrameSize - kWireHdr);
+        sp64_patch_fragment(f + kWireHdr, heap_len, poff);
+      } else {
+        sp_packetize(payload + poff, plen, heap_id, timestamp,
+                     channel_offset, s->mtu_payload, f + kWireHdr,
+                     kFrameSize - kWireHdr);
+        // Patch multi-packet heap fields (cf. stage_packets,
+        // udp_burst.cpp).
+        std::uint16_t idx16 = static_cast<std::uint16_t>(idx);
+        std::uint16_t n16 = static_cast<std::uint16_t>(total);
+        std::uint32_t hl32 = static_cast<std::uint32_t>(heap_len);
+        std::memcpy(f + kWireHdr + 24, &idx16, 2);
+        std::memcpy(f + kWireHdr + 26, &n16, 2);
+        std::memcpy(f + kWireHdr + 32, &hl32, 4);
+      }
       xdp_desc& d = descs[(prod + i) & (s->tx.size - 1)];
       d.addr = static_cast<std::uint64_t>(frame) * kFrameSize;
       d.len = kWireHdr + udp_payload;

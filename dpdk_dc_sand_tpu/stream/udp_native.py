@@ -62,17 +62,26 @@ class BurstUdpSender:
         dest: Tuple[str, int],
         mtu_payload: int = 4096,
         mode: str = "auto",
+        wire_format: str = "lite",
     ) -> None:
         lib = load_native()
         if lib is None:
             raise RuntimeError("native toolchain unavailable; use stream.udp")
+        if wire_format not in ("lite", "spead64"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
         self._lib = lib
         self.dest = dest
         self.mtu_payload = mtu_payload
+        #: "spead64" emits real SPEAD-64-48 packets at native rate
+        #: (spead_codec.cpp sp64_packetize; OR'd kFlagWire64 mode bit).
+        self.wire_format = wire_format
+        flag = 0x200 if wire_format == "spead64" else 0
         self._h = ctypes.c_void_p()
         for m in _resolve_mode(mode):
             self._h = ctypes.c_void_p(
-                lib.ub_sender_create_mode(dest[0].encode(), dest[1], mtu_payload, m)
+                lib.ub_sender_create_mode(
+                    dest[0].encode(), dest[1], mtu_payload, m | flag
+                )
             )
             if self._h:
                 break

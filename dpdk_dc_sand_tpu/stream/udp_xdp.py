@@ -55,16 +55,21 @@ class XdpSender:
         port: int,
         mtu_payload: int = 3584,
         src_port: int = 5001,
+        wire_format: str = "lite",
     ) -> None:
         lib = load_native()
         if lib is None:
             raise RuntimeError("native toolchain unavailable")
+        if wire_format not in ("lite", "spead64"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
         self._lib = lib
         self.mtu_payload = mtu_payload
+        self.wire_format = wire_format
         self._h = ctypes.c_void_p(
-            lib.xsk_sender_create(
+            lib.xsk_sender_create_fmt(
                 ifname.encode(), src_ip.encode(), dst_ip.encode(),
                 src_port, port, mtu_payload,
+                1 if wire_format == "spead64" else 0,
             )
         )
         if not self._h:

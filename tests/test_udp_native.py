@@ -206,3 +206,57 @@ def test_native_receiver_dual_stack_spead64():
     finally:
         rx.stop()
         ring.close()
+
+
+@pytest.mark.parametrize("mode", ["burst", "gso", "uring"])
+def test_native_spead64_tx_all_engines(mode):
+    """Every socket engine emits real SPEAD-64-48 at native rate
+    (kFlagWire64); the dual-stack RX reassembles bit-exact."""
+    import time
+
+    import numpy as np
+
+    from dpdk_dc_sand_tpu.stream.chunk import Chunk
+    from dpdk_dc_sand_tpu.stream.ring import ChunkRing
+    from dpdk_dc_sand_tpu.stream.udp import UdpReceiver
+    from dpdk_dc_sand_tpu.stream.udp_native import (
+        BurstUdpReceiver,
+        BurstUdpSender,
+        burst_available,
+    )
+
+    if not burst_available():
+        pytest.skip("native toolchain unavailable")
+    ring = ChunkRing(8, 1 << 20, native=True)
+    try:
+        try:
+            rx = BurstUdpReceiver(
+                ("127.0.0.1", 0), ring, mtu_payload=1024, mode=mode
+            )
+            tx = BurstUdpSender(
+                ("127.0.0.1", rx.port), mtu_payload=1024, mode=mode,
+                wire_format="spead64",
+            )
+        except OSError as e:
+            pytest.skip(f"{mode} unsupported here: {e}")
+        pay = np.random.default_rng(1).integers(
+            0, 256, 50000, dtype=np.uint8
+        )
+        tx.send_chunk(Chunk(pay, seq=4, timestamp=99, channel_offset=3))
+        got = None
+        deadline = time.time() + 5
+        while got is None and time.time() < deadline:
+            item = ring.acquire_read()
+            if item is None:
+                time.sleep(0.01)
+                continue
+            view, seq = item
+            got = (seq, UdpReceiver.unpack(view))
+            ring.release_read()
+        assert got is not None and got[0] == 4
+        assert got[1].timestamp == 99 and got[1].channel_offset == 3
+        np.testing.assert_array_equal(np.asarray(got[1].payload), pay)
+        tx.close()
+        rx.stop()
+    finally:
+        ring.close()

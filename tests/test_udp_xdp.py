@@ -187,3 +187,43 @@ def test_xdp_multiport_subscription(fabric):
     finally:
         rx.stop()
         ring.close()
+
+
+def test_xdp_spead64_roundtrip(fabric):
+    """AF_XDP speaks real SPEAD-64-48: raw frames with SPEAD-64-48
+    payloads steered by the eBPF filter and reassembled bit-exact."""
+    a, b = fabric
+    ring = ChunkRing(16, 1 << 20, native=True)
+    try:
+        rx = udp_xdp.XdpReceiver(b, 5002, ring, mtu_payload=3520)
+    except OSError as e:
+        pytest.skip(f"AF_XDP unavailable: {e}")
+    tx = udp_xdp.XdpSender(
+        a, "10.99.0.1", "10.99.0.2", 5002, mtu_payload=3520,
+        wire_format="spead64",
+    )
+    try:
+        pay = np.random.default_rng(2).integers(
+            0, 256, 123456, dtype=np.uint8
+        )
+        got = {}
+        deadline = time.time() + 10
+        while not got and time.time() < deadline:
+            tx.send_chunk(Chunk(pay, seq=7, timestamp=42, channel_offset=9))
+            t = time.time() + 0.25
+            while not got and time.time() < t:
+                item = ring.acquire_read()
+                if item is None:
+                    time.sleep(0.005)
+                    continue
+                view, seq = item
+                got[seq] = UdpReceiver.unpack(view)
+                ring.release_read()
+        assert 7 in got, rx.stats()
+        c = got[7]
+        assert c.timestamp == 42 and c.channel_offset == 9
+        np.testing.assert_array_equal(np.asarray(c.payload), pay)
+    finally:
+        tx.close()
+        rx.stop()
+        ring.close()
