@@ -76,6 +76,16 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
         pipeline=4, tapouter=True,
     ),
+    # slab-major tap-outer: ring slabs stored transposed so the chunk
+    # accumulator IS the stage-A operand (no relayout copy)
+    "pipe4rollslabck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=4, tapouter="slab",
+    ),
+    "pipe2rollslabck": dict(
+        taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
+        pipeline=2, tapouter="slab",
+    ),
     "xpipewinrollck": dict(
         taps=16, batch_a=True, s_blk=None, coarse="kernel", rolling=True,
         pipeline=4, xpipe="win",

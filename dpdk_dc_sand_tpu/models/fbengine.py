@@ -155,6 +155,7 @@ class FBEngine:
         fengine_pipeline: bool | str = "auto",
         fengine_s_blk: int | None = None,
         fengine_vmem_mb: int | None = None,
+        fengine_tapouter: bool | str = False,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -214,6 +215,7 @@ class FBEngine:
         #: the kernel's measured defaults.
         self.fengine_s_blk = fengine_s_blk
         self.fengine_vmem_mb = fengine_vmem_mb
+        self.fengine_tapouter = fengine_tapouter
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -253,6 +255,7 @@ class FBEngine:
                 fengine_pipeline=self.fengine_pipeline,
                 fengine_s_blk=fengine_s_blk,
                 fengine_vmem_mb=fengine_vmem_mb,
+                fengine_tapouter=fengine_tapouter,
             )
         )
         self.beam_layout = beam_layout
@@ -414,6 +417,7 @@ def _f_stage(
     fengine_pipeline: bool = False,
     fengine_s_blk: int | None = None,
     fengine_vmem_mb: int | None = None,
+    fengine_tapouter: bool | str = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared F stage: coarse delay + PFB + fine delay + requantise.
 
@@ -445,6 +449,7 @@ def _f_stage(
             ct_pipeline=fengine_pipeline,
             s_blk=fengine_s_blk,
             vmem_limit_mb=fengine_vmem_mb,
+            fir_tapouter=fengine_tapouter,
         )
         margin_need = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a, fengine_s_blk
@@ -616,6 +621,7 @@ def _fb_step(
     fengine_pipeline: bool = False,
     fengine_s_blk: int | None = None,
     fengine_vmem_mb: int | None = None,
+    fengine_tapouter: bool | str = False,
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -634,6 +640,7 @@ def _fb_step(
         fengine_pipeline=fengine_pipeline,
         fengine_s_blk=fengine_s_blk,
         fengine_vmem_mb=fengine_vmem_mb,
+        fengine_tapouter=fengine_tapouter,
     )
     return _b_stage(
         qr,

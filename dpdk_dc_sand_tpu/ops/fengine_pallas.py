@@ -503,6 +503,7 @@ def _fengine_kernel_ct(
     quantise: bool = True,
     ring_dtype=jnp.bfloat16,
     tap_outer: bool = False,
+    slab: bool = False,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -652,6 +653,13 @@ def _fengine_kernel_ct(
             conv_full = (
                 raw[0:rows].reshape(n_groups, n1, n2).astype(ring_dtype)
             )
+            if slab:
+                # Slab-major ring: slots stored transposed [N2, N1] so
+                # the tap-outer chunk accumulator [per, N2, N1] reshapes
+                # contiguously into the [per·N2, N1] stage-A operand —
+                # no relayout copy (the copy that made plain tap_outer
+                # measure neutral, ROADMAP round 4).
+                conv_full = jnp.swapaxes(conv_full, 1, 2)
             if tap_outer:
                 # Double-written ring: slot f also lives at f + G, so
                 # any wrapped window of consecutive slabs is one
@@ -672,6 +680,8 @@ def _fengine_kernel_ct(
                 .reshape(s_blk, n1, n2)
                 .astype(ring_dtype)
             )
+            if slab:
+                conv = jnp.swapaxes(conv, 1, 2)
             for j in range(s_blk):
                 f = s * s_blk + (n_taps - 1) + j
                 ring_ref[jax.lax.rem(f, n_groups)] = conv[j]
@@ -700,11 +710,21 @@ def _fengine_kernel_ct(
             acc = None
             for tap in range(n_taps):
                 q = jax.lax.rem(f0 + tap, n_groups)
-                sl = ring_ref[pl.ds(q, per_)]  # [per, n1, n2]
-                term = sl * wina_ref[tap * n1 : (tap + 1) * n1][None]
+                # [per, n1, n2] slabs; slab-major ring: [per, n2, n1].
+                sl = ring_ref[pl.ds(q, per_)]
+                if slab:
+                    term = sl * wina_ref[tap * n2 : (tap + 1) * n2][None]
+                else:
+                    term = sl * wina_ref[tap * n1 : (tap + 1) * n1][None]
                 acc = term if acc is None else acc + term
-            for j in range(per_):
-                buf[:, j * n2 : (j + 1) * n2] = acc[j].astype(buf.dtype)
+            if slab:
+                # The collapse [per, N2, N1] → [per·N2, N1] is a free
+                # (contiguous) reshape: the accumulator IS the stage-A
+                # operand, slab-major.
+                buf[:] = acc.reshape(per_ * n2, n1).astype(buf.dtype)
+            else:
+                for j in range(per_):
+                    buf[:, j * n2 : (j + 1) * n2] = acc[j].astype(buf.dtype)
 
     else:
         raw = scratch[slot]
@@ -778,6 +798,26 @@ def _fengine_kernel_ct(
                 # the sub-block [lo, hi). ``out_base`` offsets the
                 # output spectra index (cross-block carry mode, where
                 # the out window spans the whole batch).
+                if slab:
+                    # Slab-major: stage A contracts N1 on the MINOR axis
+                    # of both operands ([per·N2, N1]·[N1out, N1] — the
+                    # MXU-natural NT form, same as stage B's dot_t);
+                    # twiddles arrive pre-transposed/tiled [per·N2, N1]
+                    # and per-si stage B reads contiguous ROW slices.
+                    accd = buf[:]  # [per·N2, N1]
+                    ar, ai = dot_t(accd, d1c), dot_t(accd, d1s)
+                    tr = ar * twc_ref[:] - ai * tws_ref[:]
+                    ti = ar * tws_ref[:] + ai * twc_ref[:]
+                    trd = tr.astype(dft_dtype)
+                    tid = ti.astype(dft_dtype)
+                    for si in range(lo, hi):
+                        s2 = slice((si - lo) * n2, (si - lo + 1) * n2)
+                        yr = dot(d2, trd[s2])  # [N2, N1]
+                        yi = dot(d2, tid[s2])
+                        re, im = yr[:h] - yi[h:], yi[:h] + yr[h:]
+                        idx = si if out_base is None else out_base + si
+                        epilogue(idx, re, im)
+                    return
                 sl = slice(lo * n2, hi * n2)
                 accd = buf[:]
                 ar, ai = dot(d1c, accd), dot(d1s, accd)
@@ -934,7 +974,7 @@ def fengine_fused(
     ct_xpipe: bool = False,
     quantise: bool = True,
     rolling_dtype: str = "bfloat16",
-    fir_tapouter: bool = False,
+    fir_tapouter: bool | str = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -1018,6 +1058,14 @@ def fengine_fused(
         raise ValueError(
             "fir_tapouter needs the rolling batch-A direct-CT form"
         )
+    slab = fir_tapouter == "slab"
+    if slab and not pipe_k:
+        raise ValueError(
+            "fir_tapouter='slab' (slab-major stage A) needs the chunked "
+            "ct_pipeline schedule"
+        )
+    if slab and ct_xpipe:
+        raise ValueError("fir_tapouter='slab' does not compose with ct_xpipe")
 
     batch = 1
     for d in lead:
@@ -1120,7 +1168,17 @@ def fengine_fused(
             scal = jnp.stack(
                 [q8, jnp.clip(q_rows - q8, 0, 7), cd % n2], axis=1
             ).astype(jnp.int32)
-        wina = winf.reshape(n_taps * n1, n2)
+        if slab:
+            # Slab-major: window and twiddles pre-transposed so every
+            # kernel-side operand is [·N2, N1]-shaped (see the slab
+            # branches in _fengine_kernel_ct).
+            wina = (
+                winf.reshape(n_taps, n1, n2)
+                .swapaxes(1, 2)
+                .reshape(n_taps * n2, n1)
+            )
+        else:
+            wina = winf.reshape(n_taps * n1, n2)
         k1 = np.arange(n1)
         k2h = np.arange(n2 // 2)
         nn2 = np.arange(n2)
@@ -1128,7 +1186,11 @@ def fengine_fused(
         a2 = 2 * np.pi * np.outer(k2h, nn2) / n2
         atw = 2 * np.pi * np.outer(k1, nn2) / fft_size
         twc, tws = np.cos(atw), -np.sin(atw)
-        if ct_batch_a:
+        if slab:
+            per_chunk = s_blk // pipe_k
+            twc = np.tile(twc.T, (per_chunk, 1))  # [per·N2, N1]
+            tws = np.tile(tws.T, (per_chunk, 1))
+        elif ct_batch_a:
             # Stage A runs block-wide; tile the twiddles across s_blk.
             twc, tws = np.tile(twc, (1, s_blk)), np.tile(tws, (1, s_blk))
         # Stage-B [cos; −sin] row-stack: one full-M dot per operand.
@@ -1152,7 +1214,8 @@ def fengine_fused(
             xpipe=ct_xpipe,
             quantise=quantise,
             ring_dtype=jnp.dtype(rolling_dtype),
-            tap_outer=fir_tapouter,
+            tap_outer=bool(fir_tapouter),
+            slab=slab,
         )
         if ct_xpipe:
             # Whole-batch output window: the cross-block carried tail
@@ -1175,9 +1238,10 @@ def fengine_fused(
             # Tap-outer FIR doubles the ring (slot f also at f+G) so
             # wrapped windows are contiguous slices.
             ring_groups = (2 if fir_tapouter else 1) * (s_blk + n_taps - 1)
+            ring_slab = (n2, n1) if slab else (n1, n2)
             scratch_shapes.append(
                 pltpu.VMEM(
-                    (ring_groups, n1, n2), jnp.dtype(rolling_dtype)
+                    (ring_groups, *ring_slab), jnp.dtype(rolling_dtype)
                 )
             )
         if ct_batch_a:
@@ -1186,9 +1250,10 @@ def fengine_fused(
                 # branch in _fengine_kernel_ct; disjoint refs keep the
                 # Mosaic schedule sane).
                 for _ in range(pipe_k):
+                    chunk = s_blk // pipe_k
                     scratch_shapes.append(
                         pltpu.VMEM(
-                            (n1, (s_blk // pipe_k) * n2),
+                            (chunk * n2, n1) if slab else (n1, chunk * n2),
                             jnp.dtype(dft_dtype),
                         )
                     )

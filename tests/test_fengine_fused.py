@@ -254,6 +254,29 @@ def test_ct_pipeline_matches_plain_batch_a():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_slab_major_tapouter_matches_pipelined():
+    """Slab-major tap-outer FIR (ring slabs stored transposed, stage A
+    contracting the minor axis of the [per·N2, N1] accumulator) is the
+    same math at the same rounding points as the pipelined schedule —
+    the int8 codes must agree exactly."""
+    frames, fd, ph = _inputs(31)
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, deint="ct", ct_batch_a=True, rolling=True,
+        ct_pipeline=2,
+    )
+    base = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **kw,
+    )
+    slab = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), fir_tapouter="slab", **kw,
+    )
+    for got, ref in zip(slab, base):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_unquantised_f32_output_matches_composed_path():
     """quantise=False (the qualification output mode) ships the rotated
     f32 planes — must equal the composed XLA chain before requant."""

@@ -457,6 +457,7 @@ def test_tapouter_and_xpipe_bit_exact_on_tpu():
     base_r, base_i = fengine_fused(frames, w, zero, zero, **kw)
     for name, extra in {
         "tapouter": dict(fir_tapouter=True),
+        "slab": dict(fir_tapouter="slab"),
         "xpipe": dict(ct_xpipe=True),
     }.items():
         vr, vi = fengine_fused(frames, w, zero, zero, **kw, **extra)
