@@ -50,6 +50,12 @@ class EngineNode(DeviceServer):
     on_beams:
         ``callback(beams_ndarray, seq)`` for egress (UDP sender, file,
         …). Called from the processing thread.
+    engine_opts:
+        Extra keyword arguments forwarded verbatim to the underlying
+        ``FBEngine``/``FXBEngine`` — the kernel-tuning knobs
+        (``fengine_s_blk``, ``fengine_vmem_mb``, ``fengine_pipeline``,
+        ``fengine_tapouter``, …) so a production node can run the
+        measured-best configuration from bench.py's contender ladder.
     """
 
     def __init__(
@@ -73,6 +79,7 @@ class EngineNode(DeviceServer):
         on_visibilities: Optional[
             Callable[[np.ndarray, np.ndarray, int], None]
         ] = None,
+        engine_opts: Optional[dict] = None,
     ) -> None:
         super().__init__(host, port, auth_secret=auth_secret)
         self.cfg = cfg
@@ -108,6 +115,7 @@ class EngineNode(DeviceServer):
                 fengine=fengine,
                 bstage=bstage,
                 beam_quant_scale=beam_quant_scale,
+                **(engine_opts or {}),
             )
             self._vis_accum = VisibilityAccumulator(vis_accum_steps)
         else:
@@ -124,6 +132,7 @@ class EngineNode(DeviceServer):
                 beam_quant_scale=beam_quant_scale,
                 bstage=bstage,
                 beam_layout=beam_layout,
+                **(engine_opts or {}),
             )
             self._vis_accum = None
         #: The user's coarse-delay budget: ?delay-model coarse values are
@@ -141,7 +150,8 @@ class EngineNode(DeviceServer):
             )
 
             slack = coarse_margin_samples(
-                cfg.fft_size, cfg.n_taps, n_spectra, self.fb.ct_batch_a
+                cfg.fft_size, cfg.n_taps, n_spectra, self.fb.ct_batch_a,
+                getattr(self.fb, "fengine_s_blk", None),
             )
             if slack is not None:
                 # Round the chunk length up to the kernel's ingest

@@ -69,6 +69,9 @@ class FXBEngine:
         beam_quant_scale: float | None = None,
         fengine_pipeline: bool | int = False,
         vis_precision: str = "auto",
+        fengine_s_blk: int | None = None,
+        fengine_vmem_mb: int | None = None,
+        fengine_tapouter: bool | str = False,
     ) -> None:
         if vis_precision not in ("auto", "int8", "f32", "bf16"):
             raise ValueError(f"unknown vis_precision {vis_precision!r}")
@@ -102,6 +105,10 @@ class FXBEngine:
         self.fengine_pipeline = (
             2 if fengine_pipeline is True else int(fengine_pipeline)
         )
+        #: Kernel-tuning overrides, same contract as FBEngine.
+        self.fengine_s_blk = fengine_s_blk
+        self.fengine_vmem_mb = fengine_vmem_mb
+        self.fengine_tapouter = fengine_tapouter
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -131,6 +138,9 @@ class FXBEngine:
                 fengine_interpret=fengine_interpret,
                 beam_quant_scale=beam_quant_scale,
                 fengine_pipeline=self.fengine_pipeline,
+                fengine_s_blk=fengine_s_blk,
+                fengine_vmem_mb=fengine_vmem_mb,
+                fengine_tapouter=fengine_tapouter,
                 vis_precision=vis_precision,
             )
         )
@@ -205,6 +215,9 @@ def _fxb_step(
     fengine_interpret: bool = False,
     beam_quant_scale: float | None = None,
     fengine_pipeline: bool = False,
+    fengine_s_blk: int | None = None,
+    fengine_vmem_mb: int | None = None,
+    fengine_tapouter: bool | str = False,
     vis_precision: str = "int8",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     # ---- shared F stage (same code path as FBEngine) ----
@@ -223,6 +236,9 @@ def _fxb_step(
         ct_batch_a=ct_batch_a,
         fengine_rolling=fengine_rolling,
         fengine_pipeline=fengine_pipeline,
+        fengine_s_blk=fengine_s_blk,
+        fengine_vmem_mb=fengine_vmem_mb,
+        fengine_tapouter=fengine_tapouter,
     )  # [A, P, S, C] int8 planes
 
     # ---- B stage (same code path as FBEngine) ----

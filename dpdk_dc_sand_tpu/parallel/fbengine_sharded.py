@@ -78,6 +78,9 @@ class ShardedFBEngine:
         fengine_rolling: bool | str = "auto",
         fengine_pipeline: bool | str = "auto",
         ici_chunks: int = 1,
+        fengine_s_blk: int | None = None,
+        fengine_vmem_mb: int | None = None,
+        fengine_tapouter: bool | str = False,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -161,6 +164,10 @@ class ShardedFBEngine:
         self.ct_batch_a = bool(ct_batch_a)
         self.fengine_rolling = bool(fengine_rolling)
         self.fengine_pipeline = int(fengine_pipeline)
+        #: Kernel-tuning overrides, same contract as FBEngine.
+        self.fengine_s_blk = fengine_s_blk
+        self.fengine_vmem_mb = fengine_vmem_mb
+        self.fengine_tapouter = fengine_tapouter
         if cfg.n_ants % ant_size:
             raise ValueError("n_ants must divide the ant mesh axis")
         if cfg.n_channels % time_size or n_spectra % time_size:
@@ -213,6 +220,9 @@ class ShardedFBEngine:
             fengine_rolling=self.fengine_rolling,
             fengine_pipeline=self.fengine_pipeline,
             ici_chunks=self.ici_chunks,
+            fengine_s_blk=fengine_s_blk,
+            fengine_vmem_mb=fengine_vmem_mb,
+            fengine_tapouter=fengine_tapouter,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
@@ -343,6 +353,9 @@ def _sharded_fb_body(
     fengine_rolling: bool = False,
     fengine_pipeline: bool = False,
     ici_chunks: int = 1,
+    fengine_s_blk: int | None = None,
+    fengine_vmem_mb: int | None = None,
+    fengine_tapouter: bool | str = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -371,6 +384,9 @@ def _sharded_fb_body(
             ct_batch_a=ct_batch_a,
             rolling=fengine_rolling,
             ct_pipeline=fengine_pipeline,
+            s_blk=fengine_s_blk,
+            vmem_limit_mb=fengine_vmem_mb,
+            fir_tapouter=fengine_tapouter,
         )  # [A_loc, P, S_loc, C] int8 planes
     else:
         spectra = pfb_channelise(

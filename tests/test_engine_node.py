@@ -448,6 +448,27 @@ def test_default_margin_provisions_kernel_coarse_path():
     assert node.chunk_shape[-1] % ingest_alignment(cfg.fft_size) == 0
 
 
+def test_engine_opts_reach_the_engine_and_margin_math():
+    """engine_opts forwards kernel-tuning knobs to the underlying
+    engine (the production node must be able to run bench.py's
+    measured-best configuration), and the coarse-margin accounting uses
+    the OVERRIDDEN s_blk — a stale default there would under-provision
+    the chunk and silently fall back to the XLA alignment pass."""
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
+
+    cfg = ArrayConfig(n_ants=4, n_channels=512, n_beams=2, n_taps=4)
+    node = EngineNode(
+        cfg, n_spectra=16, fengine="fused_f32",
+        engine_opts=dict(fengine_s_blk=16, fengine_vmem_mb=96),
+    )
+    assert node.fb.fengine_s_blk == 16
+    assert node.fb.fengine_vmem_mb == 96
+    need = coarse_margin_samples(
+        cfg.fft_size, cfg.n_taps, 16, node.fb.ct_batch_a, 16
+    )
+    assert need is not None and node.dma_slack >= need
+
+
 def test_delay_model_rejects_out_of_budget_coarse():
     """?delay-model coarse values beyond the node's budget fail loudly
     instead of being silently clipped inside the kernel."""

@@ -360,6 +360,39 @@ def test_fxb_fast_backends_match_xla():
         assert (dv_ > 1e-3).mean() < 5e-3
 
 
+def test_fxb_tuning_knobs_match_default_schedule():
+    """The kernel-tuning knobs (s_blk / pipeline / slab tap-outer)
+    reach FXBEngine's F stage and match the default schedule to the
+    ±1-code requant-tie tolerance (bit-exact on TPU; see in-test note)."""
+    from dpdk_dc_sand_tpu.models import FXBEngine
+
+    cfg = ArrayConfig(n_ants=4, n_channels=1024, n_beams=4, n_taps=4)
+    base = FXBEngine(
+        cfg, n_spectra=64, fengine="fused_f32", bstage="turned",
+        ct_batch_a=True, fengine_interpret=True,
+    )
+    tuned = FXBEngine(
+        cfg, n_spectra=64, fengine="fused_f32", bstage="turned",
+        ct_batch_a=True, fengine_interpret=True,
+        fengine_s_blk=8, fengine_pipeline=2, fengine_tapouter="slab",
+    )
+    assert tuned.fengine_s_blk == 8 and tuned.fengine_tapouter == "slab"
+    adc, cd, fd, ph, dv = base.example_inputs()
+    wb, wr, wi = base(adc, cd, fd, ph, dv)
+    gb, gr, gi = tuned(adc, cd, fd, ph, dv)
+    # Bit-exact on the TPU (tests/tpu); on the CPU backend XLA sums the
+    # slab stage-A's NT-form dot in a different order than the NN form,
+    # so a handful of requant ties flip by +-1 int8 code. Same code-
+    # tolerance discipline as test_fxb_fast_backends_match_xla.
+    db = np.abs(np.asarray(gb) - np.asarray(wb))
+    assert db.max() <= 2.0 + 1e-3
+    assert (db > 1e-3).mean() < 1e-3
+    for got, want in ((gr, wr), (gi, wi)):
+        dv_ = np.abs(np.asarray(got) - np.asarray(want))
+        assert dv_.max() <= 2 * 127 + 1e-3
+        assert (dv_ > 1e-3).mean() < 5e-3
+
+
 def test_fbengine_natural_beam_layout_matches_split():
     """beam_layout="natural" is the same beams in the dot-natural
     [C, P·S, 2B] form: re-laying it out host-side must reproduce the

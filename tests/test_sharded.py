@@ -238,6 +238,33 @@ def test_sharded_fused_fengine_matches_single_chip_fused():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+def test_sharded_tuning_knobs_match_default_schedule():
+    """fengine_s_blk / fengine_pipeline / fengine_tapouter reach the
+    per-shard fused kernel and match the default schedule to the
+    ±1-code tolerance (bit-exact on TPU; same knob contract as FBEngine)."""
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=512, n_beams=4, n_taps=4)
+    base = ShardedFBEngine(
+        cfg, mesh, n_spectra=16,
+        fengine="fused_f32", fengine_interpret=True, ct_batch_a=True,
+    )
+    tuned = ShardedFBEngine(
+        cfg, mesh, n_spectra=16,
+        fengine="fused_f32", fengine_interpret=True, ct_batch_a=True,
+        fengine_s_blk=4, fengine_pipeline=2, fengine_tapouter="slab",
+    )
+    assert tuned.fengine_s_blk == 4 and tuned.fengine_tapouter == "slab"
+    adc, fd, ph, dv = base.example_inputs()
+    want = np.asarray(base(adc, fd, ph, dv))
+    got = np.asarray(tuned(adc, fd, ph, dv))
+    # Bit-exact on the TPU; +-1-code requant ties on the CPU backend
+    # (the slab stage-A's NT-form dot sums in a different order) move a
+    # beam by <= 2*max|w| = 2. Same discipline as the FXB knob test.
+    d = np.abs(got - want)
+    assert d.max() <= 2.0 + 1e-3
+    assert (d > 1e-3).mean() < 1e-3
+
+
 @pytest.mark.parametrize("bstage", ["turned", "fused"])
 def test_sharded_pallas_bstage_matches_planar(bstage):
     """Pallas B-stages in-shard (corner turn + dot, or the one-kernel
