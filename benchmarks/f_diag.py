@@ -94,6 +94,17 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, xpipe=True, vmem_mb=96,
     ),
+    # tap sweep AT the best schedule (round-4 second session): taps16
+    # 47.19 / taps4 43.39 / taps1 42.46 ms same-run — the FIR is ~85%
+    # hidden; the non-FIR path is the remaining floor (ROADMAP lever 2)
+    "taps1pipe8s16": dict(
+        taps=1, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96,
+    ),
+    "taps4pipe8s16": dict(
+        taps=4, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96,
+    ),
 }
 
 
