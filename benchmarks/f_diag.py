@@ -97,6 +97,11 @@ VARIANTS = {
     # tap sweep AT the best schedule (round-4 second session): taps16
     # 47.19 / taps4 43.39 / taps1 42.46 ms same-run — the FIR is ~85%
     # hidden; the non-FIR path is the remaining floor (ROADMAP lever 2)
+    # stage-B pair fused into one double-width dot (ct_bfuse)
+    "bfuse8s16rollck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, bfuse=True,
+    ),
     "taps1pipe8s16": dict(
         taps=1, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96,
@@ -151,6 +156,7 @@ def run(S, name):
                 ct_xpipe=v.get("xpipe", False),
                 rolling_dtype=v.get("ring", "bfloat16"),
                 fir_tapouter=v.get("tapouter", False),
+                ct_bfuse=v.get("bfuse", False),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         else:
@@ -170,6 +176,7 @@ def run(S, name):
                 ct_xpipe=v.get("xpipe", False),
                 rolling_dtype=v.get("ring", "bfloat16"),
                 fir_tapouter=v.get("tapouter", False),
+                ct_bfuse=v.get("bfuse", False),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()

@@ -504,6 +504,7 @@ def _fengine_kernel_ct(
     ring_dtype=jnp.bfloat16,
     tap_outer: bool = False,
     slab: bool = False,
+    b_fuse: bool = False,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -765,8 +766,16 @@ def _fengine_kernel_ct(
     def stage_b(trd, tid):
         # Stacked stage B: yr rows [cos·tr; −sin·tr], yi likewise; the
         # complex combine is two row-half adds. Keeps k2 < N2/2.
-        yr = dot_t(d2, trd)  # [N2, N1]
-        yi = dot_t(d2, tid)
+        if b_fuse:
+            # One double-width dot per spectrum ([N2,N2] against the
+            # sublane-concat [2N1, N2]): halves the stage-B MXU
+            # dispatch count and d2 weight re-streams. Identical
+            # contraction per output element -> bit-exact.
+            y = dot_t(d2, jnp.concatenate([trd, tid], axis=0))
+            yr, yi = y[:, :n1], y[:, n1:]
+        else:
+            yr = dot_t(d2, trd)  # [N2, N1]
+            yi = dot_t(d2, tid)
         return yr[:h] - yi[h:], yi[:h] + yr[h:]
 
     if batch_a:
@@ -949,6 +958,7 @@ def _fengine_kernel_ct(
         "quantise",
         "rolling_dtype",
         "fir_tapouter",
+        "ct_bfuse",
     ),
 )
 def fengine_fused(
@@ -975,6 +985,7 @@ def fengine_fused(
     quantise: bool = True,
     rolling_dtype: str = "bfloat16",
     fir_tapouter: bool | str = False,
+    ct_bfuse: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -1216,6 +1227,7 @@ def fengine_fused(
             ring_dtype=jnp.dtype(rolling_dtype),
             tap_outer=bool(fir_tapouter),
             slab=slab,
+            b_fuse=ct_bfuse,
         )
         if ct_xpipe:
             # Whole-batch output window: the cross-block carried tail

@@ -277,6 +277,28 @@ def test_slab_major_tapouter_matches_pipelined():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_bfuse_stage_b_matches_pipelined():
+    """ct_bfuse (each spectrum's two stage-B dots fused into one
+    double-width dot over the sublane-concat [2N1, N2] operand) is the
+    identical contraction per output element — exact equality."""
+    frames, fd, ph = _inputs(37)
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, deint="ct", ct_batch_a=True, rolling=True,
+        ct_pipeline=2,
+    )
+    base = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **kw,
+    )
+    fused = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), ct_bfuse=True, **kw,
+    )
+    for got, ref in zip(fused, base):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_unquantised_f32_output_matches_composed_path():
     """quantise=False (the qualification output mode) ships the rotated
     f32 planes — must equal the composed XLA chain before requant."""

@@ -458,6 +458,7 @@ def test_tapouter_and_xpipe_bit_exact_on_tpu():
     for name, extra in {
         "tapouter": dict(fir_tapouter=True),
         "slab": dict(fir_tapouter="slab"),
+        "bfuse": dict(ct_bfuse=True),
         "xpipe": dict(ct_xpipe=True),
     }.items():
         vr, vi = fengine_fused(frames, w, zero, zero, **kw, **extra)
