@@ -142,6 +142,9 @@ def main() -> None:
         # measured it within jitter of the default F-only; in the full
         # step the attempt ladder lets the measured-best win.
         (flagship, 256, "fused", True, "fused", "natural",
+         dict(fengine_s_blk=16, fengine_vmem_mb=96, fengine_pipeline=8,
+              fengine_bfuse=True)),
+        (flagship, 256, "fused", True, "fused", "natural",
          dict(fengine_s_blk=16, fengine_vmem_mb=96, fengine_pipeline=8)),
         (flagship, 256, "fused", True, "fused", "natural"),
         (flagship, 128, "fused", True, "fused", "natural"),
@@ -159,7 +162,7 @@ def main() -> None:
     #: The first N attempts are tuning CONTENDERS at the same geometry:
     #: measure all that run and keep the fastest (a first-success break
     #: would let a slower tuning variant shadow the default).
-    contenders = 2
+    contenders = 3
     for idx, (cfg, n_spectra, fengine, batch_a, bstage, layout, *extra) in (
         enumerate(attempts)
     ):

@@ -156,6 +156,7 @@ class FBEngine:
         fengine_s_blk: int | None = None,
         fengine_vmem_mb: int | None = None,
         fengine_tapouter: bool | str = False,
+        fengine_bfuse: bool = False,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -216,6 +217,7 @@ class FBEngine:
         self.fengine_s_blk = fengine_s_blk
         self.fengine_vmem_mb = fengine_vmem_mb
         self.fengine_tapouter = fengine_tapouter
+        self.fengine_bfuse = fengine_bfuse
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -256,6 +258,7 @@ class FBEngine:
                 fengine_s_blk=fengine_s_blk,
                 fengine_vmem_mb=fengine_vmem_mb,
                 fengine_tapouter=fengine_tapouter,
+                fengine_bfuse=fengine_bfuse,
             )
         )
         self.beam_layout = beam_layout
@@ -418,6 +421,7 @@ def _f_stage(
     fengine_s_blk: int | None = None,
     fengine_vmem_mb: int | None = None,
     fengine_tapouter: bool | str = False,
+    fengine_bfuse: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared F stage: coarse delay + PFB + fine delay + requantise.
 
@@ -450,6 +454,7 @@ def _f_stage(
             s_blk=fengine_s_blk,
             vmem_limit_mb=fengine_vmem_mb,
             fir_tapouter=fengine_tapouter,
+            ct_bfuse=fengine_bfuse,
         )
         margin_need = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a, fengine_s_blk
@@ -622,6 +627,7 @@ def _fb_step(
     fengine_s_blk: int | None = None,
     fengine_vmem_mb: int | None = None,
     fengine_tapouter: bool | str = False,
+    fengine_bfuse: bool = False,
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -641,6 +647,7 @@ def _fb_step(
         fengine_s_blk=fengine_s_blk,
         fengine_vmem_mb=fengine_vmem_mb,
         fengine_tapouter=fengine_tapouter,
+        fengine_bfuse=fengine_bfuse,
     )
     return _b_stage(
         qr,
