@@ -102,6 +102,29 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96, bfuse=True,
     ),
+    # round-5 attack on the non-FIR dependency floor:
+    # skew: chunk j's stage-B issued after chunk j+1's stage-A (MXU
+    # back-to-back); bchunk: whole-chunk stage-B in ONE fat dot
+    "skew8s16rollck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, skew=True,
+    ),
+    "bchunk8s16rollck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, bfuse="chunk",
+    ),
+    "skewbchunk8s16": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, bfuse="chunk", skew=True,
+    ),
+    "bchunk4s16rollck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=4, vmem_mb=96, bfuse="chunk",
+    ),
+    "skewbchunk4s16": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=4, vmem_mb=96, bfuse="chunk", skew=True,
+    ),
     "taps1pipe8s16": dict(
         taps=1, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96,
@@ -157,6 +180,7 @@ def run(S, name):
                 rolling_dtype=v.get("ring", "bfloat16"),
                 fir_tapouter=v.get("tapouter", False),
                 ct_bfuse=v.get("bfuse", False),
+                ct_skew=v.get("skew", False),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         else:
@@ -177,6 +201,7 @@ def run(S, name):
                 rolling_dtype=v.get("ring", "bfloat16"),
                 fir_tapouter=v.get("tapouter", False),
                 ct_bfuse=v.get("bfuse", False),
+                ct_skew=v.get("skew", False),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()

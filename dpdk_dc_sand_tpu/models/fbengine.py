@@ -156,7 +156,8 @@ class FBEngine:
         fengine_s_blk: int | None = None,
         fengine_vmem_mb: int | None = None,
         fengine_tapouter: bool | str = False,
-        fengine_bfuse: bool = False,
+        fengine_bfuse: bool | str = False,
+        fengine_skew: bool = False,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -218,6 +219,7 @@ class FBEngine:
         self.fengine_vmem_mb = fengine_vmem_mb
         self.fengine_tapouter = fengine_tapouter
         self.fengine_bfuse = fengine_bfuse
+        self.fengine_skew = fengine_skew
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -259,6 +261,7 @@ class FBEngine:
                 fengine_vmem_mb=fengine_vmem_mb,
                 fengine_tapouter=fengine_tapouter,
                 fengine_bfuse=fengine_bfuse,
+                fengine_skew=fengine_skew,
             )
         )
         self.beam_layout = beam_layout
@@ -421,7 +424,8 @@ def _f_stage(
     fengine_s_blk: int | None = None,
     fengine_vmem_mb: int | None = None,
     fengine_tapouter: bool | str = False,
-    fengine_bfuse: bool = False,
+    fengine_bfuse: bool | str = False,
+    fengine_skew: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared F stage: coarse delay + PFB + fine delay + requantise.
 
@@ -455,6 +459,7 @@ def _f_stage(
             vmem_limit_mb=fengine_vmem_mb,
             fir_tapouter=fengine_tapouter,
             ct_bfuse=fengine_bfuse,
+            ct_skew=fengine_skew,
         )
         margin_need = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a, fengine_s_blk
@@ -627,7 +632,8 @@ def _fb_step(
     fengine_s_blk: int | None = None,
     fengine_vmem_mb: int | None = None,
     fengine_tapouter: bool | str = False,
-    fengine_bfuse: bool = False,
+    fengine_bfuse: bool | str = False,
+    fengine_skew: bool = False,
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -648,6 +654,7 @@ def _fb_step(
         fengine_vmem_mb=fengine_vmem_mb,
         fengine_tapouter=fengine_tapouter,
         fengine_bfuse=fengine_bfuse,
+        fengine_skew=fengine_skew,
     )
     return _b_stage(
         qr,

@@ -72,6 +72,8 @@ class FXBEngine:
         fengine_s_blk: int | None = None,
         fengine_vmem_mb: int | None = None,
         fengine_tapouter: bool | str = False,
+        fengine_bfuse: bool | str = False,
+        fengine_skew: bool = False,
     ) -> None:
         if vis_precision not in ("auto", "int8", "f32", "bf16"):
             raise ValueError(f"unknown vis_precision {vis_precision!r}")
@@ -109,6 +111,8 @@ class FXBEngine:
         self.fengine_s_blk = fengine_s_blk
         self.fengine_vmem_mb = fengine_vmem_mb
         self.fengine_tapouter = fengine_tapouter
+        self.fengine_bfuse = fengine_bfuse
+        self.fengine_skew = fengine_skew
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -141,6 +145,8 @@ class FXBEngine:
                 fengine_s_blk=fengine_s_blk,
                 fengine_vmem_mb=fengine_vmem_mb,
                 fengine_tapouter=fengine_tapouter,
+                fengine_bfuse=fengine_bfuse,
+                fengine_skew=fengine_skew,
                 vis_precision=vis_precision,
             )
         )
@@ -218,6 +224,8 @@ def _fxb_step(
     fengine_s_blk: int | None = None,
     fengine_vmem_mb: int | None = None,
     fengine_tapouter: bool | str = False,
+    fengine_bfuse: bool | str = False,
+    fengine_skew: bool = False,
     vis_precision: str = "int8",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     # ---- shared F stage (same code path as FBEngine) ----
@@ -239,6 +247,8 @@ def _fxb_step(
         fengine_s_blk=fengine_s_blk,
         fengine_vmem_mb=fengine_vmem_mb,
         fengine_tapouter=fengine_tapouter,
+        fengine_bfuse=fengine_bfuse,
+        fengine_skew=fengine_skew,
     )  # [A, P, S, C] int8 planes
 
     # ---- B stage (same code path as FBEngine) ----

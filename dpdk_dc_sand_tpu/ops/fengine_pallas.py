@@ -504,7 +504,8 @@ def _fengine_kernel_ct(
     ring_dtype=jnp.bfloat16,
     tap_outer: bool = False,
     slab: bool = False,
-    b_fuse: bool = False,
+    b_fuse: bool | str = False,
+    skew: bool = False,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -778,6 +779,26 @@ def _fengine_kernel_ct(
             yi = dot_t(d2, tid)
         return yr[:h] - yi[h:], yi[:h] + yr[h:]
 
+    def stage_b_chunk(trd, tid, lo, hi, out_base=None):
+        # ``ct_bfuse="chunk"``: ONE stage-B dot for the whole sub-block —
+        # every spectrum's (tr, ti) pair row-stacked into a
+        # [2·per·N1, N2] operand so the MXU sees a single
+        # [N2,N2]x[2·per·N1,N2]^T dot instead of ``per`` serialised
+        # per-si dots (the per-si stage-B -> epilogue alternation is the
+        # measured non-FIR dependency floor, ROADMAP round 4). Identical
+        # contraction per output element -> bit-exact vs stage_b().
+        parts = []
+        for si in range(lo, hi):
+            s2 = slice((si - lo) * n2, (si - lo + 1) * n2)
+            parts += [trd[:, s2], tid[:, s2]]
+        y = dot_t(d2, jnp.concatenate(parts, axis=0))  # [N2, 2·per·N1]
+        for si in range(lo, hi):
+            q = 2 * (si - lo)
+            yr = y[:, q * n1 : (q + 1) * n1]
+            yi = y[:, (q + 1) * n1 : (q + 2) * n1]
+            idx = si if out_base is None else out_base + si
+            epilogue(idx, yr[:h] - yi[h:], yi[:h] + yr[h:])
+
     if batch_a:
         if kway and s_blk >= 2 * kway and s_blk % kway == 0:
             # Software-pipelined halves: issue half 0's stage-A dots
@@ -801,6 +822,27 @@ def _fengine_kernel_ct(
                     buf[:, (si - lo) * n2 : (si - lo + 1) * n2] = fir(
                         si
                     ).astype(buf.dtype)
+
+            def head_chunk(buf, lo, hi):
+                # Stage A dots + twiddle for the sub-block [lo, hi);
+                # returns the stage-B operands (non-slab layout).
+                sl = slice(lo * n2, hi * n2)
+                accd = buf[:]
+                ar, ai = dot(d1c, accd), dot(d1s, accd)
+                tr = ar * twc_ref[:, sl] - ai * tws_ref[:, sl]
+                ti = ar * tws_ref[:, sl] + ai * twc_ref[:, sl]
+                return tr.astype(dft_dtype), ti.astype(dft_dtype)
+
+            def btail_chunk(trd, tid, lo, hi, out_base=None):
+                # Stage B + epilogue for the sub-block [lo, hi).
+                if b_fuse == "chunk":
+                    stage_b_chunk(trd, tid, lo, hi, out_base)
+                    return
+                for si in range(lo, hi):
+                    s2 = slice((si - lo) * n2, (si - lo + 1) * n2)
+                    re, im = stage_b(trd[:, s2], tid[:, s2])
+                    idx = si if out_base is None else out_base + si
+                    epilogue(idx, re, im)
 
             def tail_chunk(buf, lo, hi, out_base=None):
                 # stage A dots + twiddle + per-si stage B/epilogue for
@@ -827,17 +869,8 @@ def _fengine_kernel_ct(
                         idx = si if out_base is None else out_base + si
                         epilogue(idx, re, im)
                     return
-                sl = slice(lo * n2, hi * n2)
-                accd = buf[:]
-                ar, ai = dot(d1c, accd), dot(d1s, accd)
-                tr = ar * twc_ref[:, sl] - ai * tws_ref[:, sl]
-                ti = ar * tws_ref[:, sl] + ai * twc_ref[:, sl]
-                trd, tid = tr.astype(dft_dtype), ti.astype(dft_dtype)
-                for si in range(lo, hi):
-                    s2 = slice((si - lo) * n2, (si - lo + 1) * n2)
-                    re, im = stage_b(trd[:, s2], tid[:, s2])
-                    idx = si if out_base is None else out_base + si
-                    epilogue(idx, re, im)
+                trd, tid = head_chunk(buf, lo, hi)
+                btail_chunk(trd, tid, lo, hi, out_base)
 
             if xpipe == "win":
                 # Diagnostic variant: whole-batch window + base-indexed
@@ -894,6 +927,24 @@ def _fengine_kernel_ct(
                         accbs[kway - 1], (kway - 1) * per, s_blk, base
                     )
 
+                return
+
+            if skew:
+                # Skewed schedule: chunk j's stage-B/epilogue is issued
+                # AFTER chunk j+1's stage-A dots, so the MXU sees
+                # A(j+1) then B(j) back-to-back (independent — no
+                # dependency stall between them) and the VPU epilogue
+                # of chunk j overlaps the MXU work of chunk j+1. Same
+                # ops at the same rounding points, just reordered —
+                # bit-exact vs the rotated schedule.
+                pend = None
+                for j in range(kway):
+                    fir_chunk(accbs[j], j * per, (j + 1) * per)
+                    trd, tid = head_chunk(accbs[j], j * per, (j + 1) * per)
+                    if pend is not None:
+                        btail_chunk(*pend)
+                    pend = (trd, tid, j * per, (j + 1) * per)
+                btail_chunk(*pend)
                 return
 
             # Rotated k-way schedule: chunk j's MXU-heavy tail overlaps
@@ -959,6 +1010,7 @@ def _fengine_kernel_ct(
         "rolling_dtype",
         "fir_tapouter",
         "ct_bfuse",
+        "ct_skew",
     ),
 )
 def fengine_fused(
@@ -985,7 +1037,8 @@ def fengine_fused(
     quantise: bool = True,
     rolling_dtype: str = "bfloat16",
     fir_tapouter: bool | str = False,
-    ct_bfuse: bool = False,
+    ct_bfuse: bool | str = False,
+    ct_skew: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -1077,6 +1130,27 @@ def fengine_fused(
         )
     if slab and ct_xpipe:
         raise ValueError("fir_tapouter='slab' does not compose with ct_xpipe")
+    # Loud gates (repo convention: a caller flipping a knob must not
+    # silently get the plain schedule).
+    if ct_bfuse and deint != "ct":
+        raise ValueError("ct_bfuse needs the direct-CT kernel form")
+    if ct_bfuse and slab:
+        raise ValueError(
+            "ct_bfuse does not compose with fir_tapouter='slab' (the "
+            "slab stage-B loop uses the plain dot)"
+        )
+    if ct_bfuse == "chunk" and pipe_k < 2:
+        raise ValueError(
+            "ct_bfuse='chunk' (whole-chunk stage-B dot) needs the "
+            "chunked ct_pipeline schedule with k >= 2"
+        )
+    if ct_skew:
+        if pipe_k < 2 or slab or ct_xpipe:
+            raise ValueError(
+                "ct_skew needs the chunked ct_pipeline schedule "
+                "(k >= 2) and composes with neither fir_tapouter="
+                "'slab' nor ct_xpipe"
+            )
 
     batch = 1
     for d in lead:
@@ -1228,6 +1302,7 @@ def fengine_fused(
             tap_outer=bool(fir_tapouter),
             slab=slab,
             b_fuse=ct_bfuse,
+            skew=ct_skew,
         )
         if ct_xpipe:
             # Whole-batch output window: the cross-block carried tail

@@ -81,6 +81,8 @@ class ShardedFBEngine:
         fengine_s_blk: int | None = None,
         fengine_vmem_mb: int | None = None,
         fengine_tapouter: bool | str = False,
+        fengine_bfuse: bool | str = False,
+        fengine_skew: bool = False,
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -168,6 +170,8 @@ class ShardedFBEngine:
         self.fengine_s_blk = fengine_s_blk
         self.fengine_vmem_mb = fengine_vmem_mb
         self.fengine_tapouter = fengine_tapouter
+        self.fengine_bfuse = fengine_bfuse
+        self.fengine_skew = fengine_skew
         if cfg.n_ants % ant_size:
             raise ValueError("n_ants must divide the ant mesh axis")
         if cfg.n_channels % time_size or n_spectra % time_size:
@@ -223,6 +227,8 @@ class ShardedFBEngine:
             fengine_s_blk=fengine_s_blk,
             fengine_vmem_mb=fengine_vmem_mb,
             fengine_tapouter=fengine_tapouter,
+            fengine_bfuse=fengine_bfuse,
+            fengine_skew=fengine_skew,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
@@ -356,6 +362,8 @@ def _sharded_fb_body(
     fengine_s_blk: int | None = None,
     fengine_vmem_mb: int | None = None,
     fengine_tapouter: bool | str = False,
+    fengine_bfuse: bool | str = False,
+    fengine_skew: bool = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -387,6 +395,8 @@ def _sharded_fb_body(
             s_blk=fengine_s_blk,
             vmem_limit_mb=fengine_vmem_mb,
             fir_tapouter=fengine_tapouter,
+            ct_bfuse=fengine_bfuse,
+            ct_skew=fengine_skew,
         )  # [A_loc, P, S_loc, C] int8 planes
     else:
         spectra = pfb_channelise(

@@ -299,6 +299,64 @@ def test_bfuse_stage_b_matches_pipelined():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_bchunk_and_skew_match_pipelined():
+    """Round-5 floor-attack schedules — ``ct_bfuse="chunk"`` (the whole
+    sub-block's stage-B pairs row-stacked into ONE fat MXU dot) and
+    ``ct_skew`` (chunk j's stage-B issued after chunk j+1's stage-A) —
+    are the identical contraction per output element in a different
+    program order: the int8 codes must agree exactly."""
+    frames, fd, ph = _inputs(41)
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, deint="ct", ct_batch_a=True, rolling=True,
+        ct_pipeline=2,
+    )
+    base = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **kw,
+    )
+    for extra in (
+        dict(ct_bfuse="chunk"),
+        dict(ct_skew=True),
+        dict(ct_bfuse="chunk", ct_skew=True),
+    ):
+        got = fengine_fused(
+            jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+            jnp.asarray(ph), **kw, **extra,
+        )
+        for g, ref in zip(got, base):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(ref))
+
+
+def test_bfuse_and_skew_gates_are_loud():
+    """A knob that cannot take effect must raise, not silently fall back
+    to the plain schedule (repo convention; ADVICE round 4)."""
+    frames, fd, ph = _inputs(43)
+    args = (
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph),
+    )
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True,
+    )
+    import pytest
+
+    # ct_bfuse='chunk' without the chunked pipeline
+    with pytest.raises(ValueError, match="ct_bfuse='chunk'"):
+        fengine_fused(*args, deint="ct", ct_batch_a=True, ct_bfuse="chunk", **kw)
+    # ct_skew without the chunked pipeline
+    with pytest.raises(ValueError, match="ct_skew"):
+        fengine_fused(*args, deint="ct", ct_batch_a=True, ct_skew=True, **kw)
+    # ct_bfuse on the slab schedule (stage-B pair fusion would be
+    # silently dropped by the slab per-si loop)
+    with pytest.raises(ValueError, match="slab"):
+        fengine_fused(
+            *args, deint="ct", ct_batch_a=True, rolling=True,
+            ct_pipeline=2, fir_tapouter="slab", ct_bfuse=True, **kw,
+        )
+
+
 def test_unquantised_f32_output_matches_composed_path():
     """quantise=False (the qualification output mode) ships the rotated
     f32 planes — must equal the composed XLA chain before requant."""
