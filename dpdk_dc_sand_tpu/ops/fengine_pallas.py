@@ -506,6 +506,7 @@ def _fengine_kernel_ct(
     slab: bool = False,
     b_fuse: bool | str = False,
     skew: bool = False,
+    ablate: str | None = None,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -612,6 +613,15 @@ def _fengine_kernel_ct(
         dma_start(next_slot, nb, ns_)
 
     dma_wait(slot, b, s)
+
+    if ablate == "dma":
+        # Diagnostic stop (bench-only, via ``fengine_fused(_ablate=)``):
+        # input DMA + output writes only — the stream floor.
+        probe = scratch[slot][0 : n2 // 2, 0:n1].astype(outr_ref.dtype)
+        for si in range(s_blk):
+            outr_ref[0, si] = probe
+            outi_ref[0, si] = probe
+        return
 
     rot_c, rot_s = rotc_ref[0], rots_ref[0]
     d1c, d1s = dft1c_ref[:].astype(dft_dtype), dft1s_ref[:].astype(dft_dtype)
@@ -753,6 +763,11 @@ def _fengine_kernel_ct(
         # ``quantise=False`` ships the rotated f32 planes — the
         # qualification path, where the int8 floor would mask the
         # filterbank's own leakage.
+        if ablate == "stageb":
+            # Diagnostic stop: skip the rotation/requant VPU epilogue.
+            outr_ref[0, si] = re.astype(outr_ref.dtype)
+            outi_ref[0, si] = im.astype(outi_ref.dtype)
+            return
         outr = re * rot_c - im * rot_s
         outi = re * rot_s + im * rot_c
         if not quantise:
@@ -849,6 +864,16 @@ def _fengine_kernel_ct(
                 # the sub-block [lo, hi). ``out_base`` offsets the
                 # output spectra index (cross-block carry mode, where
                 # the out window spans the whole batch).
+                if ablate == "fir":
+                    # Diagnostic stop: FIR staging only (needs n1 == n2).
+                    for si in range(lo, hi):
+                        s2 = slice((si - lo) * n2, (si - lo + 1) * n2)
+                        v = buf[:, s2][0 : n2 // 2, 0:n1].astype(
+                            outr_ref.dtype
+                        )
+                        outr_ref[0, si] = v
+                        outi_ref[0, si] = v
+                    return
                 if slab:
                     # Slab-major: stage A contracts N1 on the MINOR axis
                     # of both operands ([per·N2, N1]·[N1out, N1] — the
@@ -870,6 +895,17 @@ def _fengine_kernel_ct(
                         epilogue(idx, re, im)
                     return
                 trd, tid = head_chunk(buf, lo, hi)
+                if ablate == "stagea":
+                    # Diagnostic stop: skip stage B (needs n1 == n2).
+                    for si in range(lo, hi):
+                        s2 = slice((si - lo) * n2, (si - lo + 1) * n2)
+                        outr_ref[0, si] = trd[:, s2][0 : n2 // 2, 0:n1].astype(
+                            outr_ref.dtype
+                        )
+                        outi_ref[0, si] = tid[:, s2][0 : n2 // 2, 0:n1].astype(
+                            outi_ref.dtype
+                        )
+                    return
                 btail_chunk(trd, tid, lo, hi, out_base)
 
             if xpipe == "win":
@@ -1011,6 +1047,7 @@ def _fengine_kernel_ct(
         "fir_tapouter",
         "ct_bfuse",
         "ct_skew",
+        "_ablate",
     ),
 )
 def fengine_fused(
@@ -1039,6 +1076,7 @@ def fengine_fused(
     fir_tapouter: bool | str = False,
     ct_bfuse: bool | str = False,
     ct_skew: bool = False,
+    _ablate: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -1150,6 +1188,21 @@ def fengine_fused(
                 "ct_skew needs the chunked ct_pipeline schedule "
                 "(k >= 2) and composes with neither fir_tapouter="
                 "'slab' nor ct_xpipe"
+            )
+    if _ablate is not None:
+        # Bench-only diagnostic stops (benchmarks/f_diag.py): truncate
+        # the kernel after a named stage so its marginal cost can be
+        # measured AT the production schedule. Output values are
+        # meaningless in these modes.
+        if _ablate not in ("dma", "fir", "stagea", "stageb"):
+            raise ValueError(f"unknown _ablate stage {_ablate!r}")
+        if _ablate != "dma" and not (
+            deint == "ct" and pipe_k >= 2 and ct_batch_a
+            and not slab and not ct_skew and not ct_xpipe and n1 == n2
+        ):
+            raise ValueError(
+                "_ablate stage stops need the plain chunked-pipeline "
+                "direct-CT schedule with n1 == n2"
             )
 
     batch = 1
@@ -1303,6 +1356,7 @@ def fengine_fused(
             slab=slab,
             b_fuse=ct_bfuse,
             skew=ct_skew,
+            ablate=_ablate,
         )
         if ct_xpipe:
             # Whole-batch output window: the cross-block carried tail

@@ -77,7 +77,7 @@ class ShardedFBEngine:
         ct_batch_a: bool | str = "auto",
         fengine_rolling: bool | str = "auto",
         fengine_pipeline: bool | str = "auto",
-        ici_chunks: int = 1,
+        ici_chunks: int | str = "auto",
         fengine_s_blk: int | None = None,
         fengine_vmem_mb: int | None = None,
         fengine_tapouter: bool | str = False,
@@ -182,6 +182,23 @@ class ShardedFBEngine:
             raise ValueError("scatter_beams needs n_beams divisible by the ant axis")
         if emit_planes and (emit_visibilities or scatter_beams):
             raise ValueError("emit_planes excludes the B/X stages")
+        if ici_chunks == "auto":
+            # Committed-projection default (SCALING.json models k=8 at
+            # the flagship geometry): the largest k in {8, 4, 2} that
+            # divides the per-device spectra count, so the F->B
+            # collective/compute interleave is ON wherever it applies.
+            # 1 (off) on a single-device mesh — no collectives to hide —
+            # and in the emit modes the interleave doesn't cover.
+            per_dev = n_spectra // max(time_size, 1)
+            ici_chunks = 1
+            if (
+                ant_size * time_size > 1
+                and not (emit_planes or emit_visibilities)
+            ):
+                for k in (8, 4, 2):
+                    if per_dev % k == 0 and per_dev // k >= 1:
+                        ici_chunks = k
+                        break
         self.ici_chunks = int(ici_chunks)
         if self.ici_chunks < 1:
             raise ValueError("ici_chunks must be >= 1")

@@ -320,23 +320,46 @@ def test_sharded_steering_extrapolation_and_weights():
 
 
 @pytest.mark.parametrize("chunks,bstage", [(2, "planar"), (4, "planar"),
-                                           (2, "turned")])
+                                           (2, "turned"), ("auto", "planar")])
 def test_ici_interleaved_step_matches_monolithic(chunks, bstage):
     """ici_chunks splits the corner turn + beamform + psum into spectra
     sub-blocks whose collectives interleave with the B compute; results
-    must equal the monolithic step exactly (same values, same order)."""
+    must equal the monolithic step exactly (same values, same order).
+    ``"auto"`` (the shipped default) resolves to the same interleave the
+    committed SCALING.json projection models (k=8 where it divides)."""
     mesh = make_mesh(8, shape=(2, 4))
     cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
     n_spectra = 32
     kwargs = dict(n_spectra=n_spectra, bstage=bstage)
     if bstage != "planar":
         kwargs["fengine_interpret"] = True
-    mono = ShardedFBEngine(cfg, mesh, **kwargs)
+    mono = ShardedFBEngine(cfg, mesh, ici_chunks=1, **kwargs)
     inter = ShardedFBEngine(cfg, mesh, ici_chunks=chunks, **kwargs)
+    if chunks == "auto":
+        # per-device spectra = 32/4 = 8 -> the modeled k=8
+        assert inter.ici_chunks == 8
     adc, fd, ph, dv = mono.example_inputs()
     want = np.asarray(mono(adc, fd, ph, dv))
     got = np.asarray(inter(adc, fd, ph, dv))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ici_chunks_auto_resolution():
+    """The shipped default matches the committed projection's config:
+    interleave ON (largest dividing k of {8,4,2}) on multi-device
+    meshes, OFF on single-device meshes and in the emit modes."""
+    cfg = ArrayConfig(n_ants=8, n_channels=128, n_beams=4, n_taps=4)
+    mesh = make_mesh(8, shape=(2, 4))
+    assert ShardedFBEngine(cfg, mesh, n_spectra=32).ici_chunks == 8
+    assert ShardedFBEngine(cfg, mesh, n_spectra=12).ici_chunks == 1
+    assert (
+        ShardedFBEngine(
+            cfg, mesh, n_spectra=32, emit_visibilities=True
+        ).ici_chunks
+        == 1
+    )
+    solo = make_mesh(1, shape=(1, 1))
+    assert ShardedFBEngine(cfg, solo, n_spectra=32).ici_chunks == 1
 
 
 def test_ici_chunks_validation():
