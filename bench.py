@@ -69,53 +69,69 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
     adc_d = jax.device_put(jnp.asarray(adc))
     cd_d, fd_d = jnp.asarray(cd), jnp.asarray(fd)
     ph_d = jnp.asarray(ph)
-    # Steering blocks generated once per delay update (256-accumulation
-    # reuse cadence); the steady-state step consumes the cached blocks.
+    # Steering blocks AND fine-rotation planes generated once per delay
+    # update (256-accumulation reuse cadence); the steady-state step
+    # consumes both caches. Recomputing the rotation planes per step
+    # measured ~14 ms at the flagship config (f_diag nofd_* rows).
     fb.set_beam_delays(dv)
     blocks = fb._coeff_blocks
+    rot = fb._fine_rot(fd_d, ph_d)
 
     def chained(n_iters):
         @jax.jit
-        def run(adc, fd, blocks):
-            # blocks must be an argument: closing over multi-hundred-MB
-            # device arrays bakes them into the executable as constants
-            # and the compile never finishes.
+        def run(adc, fd, blocks, rot):
+            # blocks/planes must be arguments: closing over
+            # multi-hundred-MB device arrays bakes them into the
+            # executable as constants and the compile never finishes.
             def body(i, carry):
-                adc_c, fd_c, acc = carry
-                out = fb._step(adc_c, cd_d, fd_c, ph_d, blocks)
+                adc_c, fd_c, rot_c, acc = carry
+                out = fb._step(
+                    adc_c, cd_d, fd_c, ph_d, blocks, rot_planes=rot_c
+                )
                 probe = out.astype(jnp.float32).sum() * 1e-30
                 # New "ingested" chunk: a data-dependent single-element
                 # update (0 at runtime) chains the iterations without the
                 # full-array rewrite a real double-buffered ingest
-                # wouldn't pay.
+                # wouldn't pay. The rotation planes are loop-carried the
+                # same way: read from HBM every step (as production
+                # does), never recomputed inside the loop (as production
+                # doesn't).
+                if rot_c is not None:
+                    rc, rs = rot_c
+                    rot_n = (rc.at[0, 0, 0].add(probe), rs)
+                else:
+                    rot_n = rot_c
                 return (
                     adc_c.at[0, 0, 0].add(probe.astype(jnp.int8)),
                     fd_c + probe,
+                    rot_n,
                     acc + probe,
                 )
 
-            return jax.lax.fori_loop(0, n_iters, body, (adc, fd, jnp.float32(0)))[2]
+            return jax.lax.fori_loop(
+                0, n_iters, body, (adc, fd, rot, jnp.float32(0))
+            )[3]
 
         return run
 
-    return chained, adc_d, fd_d, blocks
+    return chained, adc_d, fd_d, blocks, rot
 
 
 def measure(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
             beam_layout="split", **engine_kw):
-    chained, adc_d, fd_d, blocks = build(
+    chained, adc_d, fd_d, blocks, rot = build(
         cfg, n_spectra, fengine, bstage, ct_batch_a, beam_layout, **engine_kw
     )
     r2, r6 = chained(2), chained(6)
-    float(r2(adc_d, fd_d, blocks))  # compile
-    float(r6(adc_d, fd_d, blocks))  # compile
+    float(r2(adc_d, fd_d, blocks, rot))  # compile
+    float(r6(adc_d, fd_d, blocks, rot))  # compile
     t2 = t6 = float("inf")
     for _ in range(2):  # best-of to shed relay jitter
         t0 = time.time()
-        float(r2(adc_d, fd_d, blocks))
+        float(r2(adc_d, fd_d, blocks, rot))
         t2 = min(t2, time.time() - t0)
         t0 = time.time()
-        float(r6(adc_d, fd_d, blocks))
+        float(r6(adc_d, fd_d, blocks, rot))
         t6 = min(t6, time.time() - t0)
     per_iter = max((t6 - t2) / 4, 1e-9)
     samples = cfg.n_ants * cfg.n_pols * n_spectra * cfg.fft_size

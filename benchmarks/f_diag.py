@@ -125,6 +125,72 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=4, vmem_mb=96, bfuse="chunk", skew=True,
     ),
+    # stage-ablation ladder AT the best schedule (kernel _ablate stops):
+    # marginal of each pipeline stage in the production formulation
+    "abl_dma8s16": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, ablate="dma",
+    ),
+    # dma-row knob isolation: which of rolling/coarse makes the DMA row
+    # 31.9 ms here vs 7.7 ms in the plain per-si kernel (2026-08-21)?
+    "abl_dma_plain": dict(
+        taps=16, batch_a=True, s_blk=16, pipeline=8, vmem_mb=96,
+        ablate="dma",
+    ),
+    "abl_dma_roll": dict(
+        taps=16, batch_a=True, s_blk=16, rolling=True, pipeline=8,
+        vmem_mb=96, ablate="dma",
+    ),
+    "abl_dma_ck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", pipeline=8,
+        vmem_mb=96, ablate="dma",
+    ),
+    "abl_dma_persi": dict(
+        taps=16, batch_a=False, s_blk=16, ablate="dma",
+    ),
+    # chain_fd=False: fine delays constant across iterations, so XLA
+    # hoists the [B, C/2, N1] cos/sin rotation-plane computation out of
+    # the loop — the marginal vs the chained row is the per-step cost of
+    # recomputing the planes (production updates delays at the
+    # 256-accumulation cadence, so a cached-plane engine is honest)
+    "nofd_pipe8s16rollck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, chain_fd=False,
+    ),
+    "nofd_abl_dma8s16": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, ablate="dma", chain_fd=False,
+    ),
+    # XLA-side coarse alignment AT the best schedule: the abl ladder
+    # shows the in-kernel coarse DMA costs ~10-12 ms/step here, far
+    # more than an XLA alignment pass's ~2.8 GB copy
+    "cxla8s16roll": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="xla", rolling=True,
+        pipeline=8, vmem_mb=96,
+    ),
+    # wire-rowed input: the stream born [A, P, rows, N2] (the kernel's
+    # own HBM view) — deletes the per-step whole-stream relayout copy
+    # that a flat-born stream pays (~15 ms, benchmarks/dma_bisect.py)
+    "rowed8s16rollck": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True,
+    ),
+    "rowed_abl_dma8s16": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True, ablate="dma",
+    ),
+    "abl_fir8s16": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, ablate="fir",
+    ),
+    "abl_stagea8s16": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, ablate="stagea",
+    ),
+    "abl_stageb8s16": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, ablate="stageb",
+    ),
     "taps1pipe8s16": dict(
         taps=1, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96,
@@ -151,8 +217,9 @@ def run(S, name):
     if coarse:
         margin = 16384
         n_in = n_frames * FFT + margin
+        raw = rng.integers(-64, 64, (A, P, n_in), dtype=np.int8)
         frames = jnp.asarray(
-            rng.integers(-64, 64, (A, P, n_in), dtype=np.int8)
+            raw.reshape(A, P, -1, 256) if v.get("rowed") else raw
         )
         cd = jnp.asarray(
             np.broadcast_to(
@@ -181,6 +248,8 @@ def run(S, name):
                 fir_tapouter=v.get("tapouter", False),
                 ct_bfuse=v.get("bfuse", False),
                 ct_skew=v.get("skew", False),
+                _ablate=v.get("ablate"),
+                rowed=v.get("rowed", False),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         else:
@@ -202,6 +271,7 @@ def run(S, name):
                 fir_tapouter=v.get("tapouter", False),
                 ct_bfuse=v.get("bfuse", False),
                 ct_skew=v.get("skew", False),
+                _ablate=v.get("ablate"),
                 vmem_limit_mb=v.get("vmem_mb"),
             )
         return qr.astype(jnp.float32).sum() + qi.astype(jnp.float32).sum()
@@ -209,12 +279,14 @@ def run(S, name):
     def factory(n_iters):
         @jax.jit
         def runf(f0, fd0):
+            chain_fd = v.get("chain_fd", True)
+
             def body(i, carry):
                 f_c, fd_c, acc = carry
                 probe = step(f_c, fd_c) * 1e-30
                 return (
                     f_c.at[(0,) * f_c.ndim].add(probe.astype(jnp.int8)),
-                    fd_c + probe,
+                    fd_c + probe if chain_fd else fd_c,
                     acc + probe,
                 )
 

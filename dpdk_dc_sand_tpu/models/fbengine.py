@@ -222,6 +222,11 @@ class FBEngine:
         self.fengine_skew = fengine_skew
         self.cfg = cfg
         self.n_spectra = n_spectra
+        self.quant_scale = quant_scale
+        #: Fine-rotation plane cache (delay-update cadence, like the
+        #: steering blocks): content-keyed, see _fine_rot().
+        self._rot_planes = None
+        self._rot_key = None
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
         # bf16 mode stores the steering planes in bf16 at update time:
         # the dots then read half the coefficient bytes per step (the
@@ -298,7 +303,10 @@ class FBEngine:
         ``[n_pols, n_channels, n_spectra, n_beams, 2]`` f32 beams.
         """
         self.set_beam_delays(delay_vals)
-        return self._step(adc, coarse_delays, frac_delays, phases, self._coeff_blocks)
+        return self._step(
+            adc, coarse_delays, frac_delays, phases, self._coeff_blocks,
+            rot_planes=self._fine_rot(frac_delays, phases),
+        )
 
     def set_beam_delays(self, delay_vals, ant_weights=None, t_s: float = 0.0) -> None:
         """(Re)generate steering rotation blocks from delay polynomials.
@@ -330,11 +338,56 @@ class FBEngine:
             )
             self._coeff_key = key
 
+    def _fine_rot(self, frac_delays, phases):
+        """Cached fine-delay rotation planes for the fused kernel.
+
+        Like the steering blocks, the planes depend only on the delay
+        solution (updated at the 256-accumulation cadence), so they are
+        content-keyed and regenerated only when the values change —
+        recomputing the 2·B·C-element cos/sin grid inside every step
+        measured ~14 ms at the flagship config (f_diag nofd_* rows,
+        2026-08-21). Bit-identical output (same computation, hoisted).
+        ``None`` (inline computation) for the XLA F stage and
+        geometries without the direct-CT kernel.
+        """
+        if self.fengine == "xla":
+            return None
+        from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+            _deint_mode,
+            fine_rotation_planes,
+        )
+
+        if _deint_mode(self.cfg.n_channels)[0] != "ct":
+            return None
+        fdn = np.ascontiguousarray(np.asarray(frac_delays, np.float32))
+        phn = np.ascontiguousarray(np.asarray(phases, np.float32))
+        import hashlib
+
+        key = hashlib.blake2b(
+            fdn.tobytes() + phn.tobytes(), digest_size=16
+        ).hexdigest()
+        if self._rot_planes is None or key != self._rot_key:
+            fd_b = jnp.broadcast_to(
+                jnp.asarray(fdn)[:, None], (self.cfg.n_ants, self.cfg.n_pols)
+            )
+            ph_b = jnp.broadcast_to(
+                jnp.asarray(phn)[:, None], (self.cfg.n_ants, self.cfg.n_pols)
+            )
+            self._rot_planes = fine_rotation_planes(
+                fd_b, ph_b, n_channels=self.cfg.n_channels,
+                quant_scale=self.quant_scale,
+            )
+            self._rot_key = key
+        return self._rot_planes
+
     def step(self, adc, coarse_delays, frac_delays, phases):
         """Hot-loop step using the cached steering blocks."""
         if self._coeff_blocks is None:
             raise RuntimeError("call set_beam_delays() first")
-        return self._step(adc, coarse_delays, frac_delays, phases, self._coeff_blocks)
+        return self._step(
+            adc, coarse_delays, frac_delays, phases, self._coeff_blocks,
+            rot_planes=self._fine_rot(frac_delays, phases),
+        )
 
     def example_inputs(
         self, seed: int = 2021, margin: int = 64, delay_budget: int | None = None
@@ -426,6 +479,7 @@ def _f_stage(
     fengine_tapouter: bool | str = False,
     fengine_bfuse: bool | str = False,
     fengine_skew: bool = False,
+    rot_planes=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared F stage: coarse delay + PFB + fine delay + requantise.
 
@@ -460,6 +514,10 @@ def _f_stage(
             fir_tapouter=fengine_tapouter,
             ct_bfuse=fengine_bfuse,
             ct_skew=fengine_skew,
+            # Cached fine-rotation planes (computed on the delay-update
+            # path): recomputing the 2*B*C cos/sin grid per step costs
+            # ~14 ms at the flagship config (f_diag nofd_* rows).
+            rot_planes=rot_planes,
         )
         margin_need = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a, fengine_s_blk
@@ -634,6 +692,7 @@ def _fb_step(
     fengine_tapouter: bool | str = False,
     fengine_bfuse: bool | str = False,
     fengine_skew: bool = False,
+    rot_planes=None,
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -655,6 +714,7 @@ def _fb_step(
         fengine_tapouter=fengine_tapouter,
         fengine_bfuse=fengine_bfuse,
         fengine_skew=fengine_skew,
+        rot_planes=rot_planes,
     )
     return _b_stage(
         qr,

@@ -1025,6 +1025,83 @@ def _fengine_kernel_ct(
         epilogue(si, re, im)
 
 
+def _rotation_planes(
+    frac_delay,
+    phase,
+    lead,
+    out_rows,
+    out_lanes,
+    *,
+    n_channels,
+    quant_scale,
+    channel_offset,
+    n_channels_total,
+):
+    """Fine-delay rotation planes ``(cos, sin)·quant_scale``, shape
+    ``[*lead, out_rows, out_lanes]`` (ops/delay.py convention,
+    coeff_generator.py:55-65)."""
+    fd = jnp.broadcast_to(
+        jnp.asarray(frac_delay, jnp.float32), tuple(lead)
+    ).reshape(*lead, 1, 1)
+    ph = jnp.broadcast_to(
+        jnp.asarray(phase, jnp.float32), tuple(lead)
+    ).reshape(*lead, 1, 1)
+    k = (
+        jnp.arange(n_channels, dtype=jnp.float32).reshape(out_rows, out_lanes)
+        + channel_offset
+    )
+    rot = -jnp.pi * fd * (k - n_channels_total / 2.0) / n_channels_total + ph
+    # Requant gain folded into the rotation planes: two fewer VPU
+    # multiplies per output sample in the kernel epilogues.
+    return jnp.cos(rot) * quant_scale, jnp.sin(rot) * quant_scale
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_channels",
+        "quant_scale",
+        "channel_offset",
+        "n_channels_total",
+    ),
+)
+def fine_rotation_planes(
+    frac_delay: jax.Array,
+    phase: jax.Array,
+    *,
+    n_channels: int,
+    quant_scale: float,
+    channel_offset: int = 0,
+    n_channels_total: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Precompute the fused kernel's fine-delay rotation planes.
+
+    Returns ``(rotc, rots)`` f32 ``[*lead, C/2-rows, lanes]`` planes for
+    :func:`fengine_fused`'s ``rot_planes=`` input. Production engines
+    call this on the delay-update path (the 256-accumulation cadence,
+    BeamformerParameters.h:17) and feed the cached planes to every step:
+    recomputing the 2·B·C-element cos/sin grid per step was measured at
+    ~14 ms/step at the flagship config. Bit-identical to the inline
+    computation (same function).
+
+    Only valid for geometries the direct-CT kernel takes (the production
+    fast path); raises otherwise.
+    """
+    mode, n1, n2 = _deint_mode(n_channels)
+    if mode != "ct":
+        raise ValueError(
+            "fine_rotation_planes covers the direct-CT kernel form only"
+        )
+    if n_channels_total is None:
+        n_channels_total = n_channels
+    lead = tuple(jnp.shape(frac_delay))
+    return _rotation_planes(
+        frac_delay, phase, lead, n2 // 2, n1,
+        n_channels=n_channels, quant_scale=quant_scale,
+        channel_offset=channel_offset, n_channels_total=n_channels_total,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1048,6 +1125,7 @@ def _fengine_kernel_ct(
         "ct_bfuse",
         "ct_skew",
         "_ablate",
+        "rowed",
     ),
 )
 def fengine_fused(
@@ -1077,6 +1155,8 @@ def fengine_fused(
     ct_bfuse: bool | str = False,
     ct_skew: bool = False,
     _ablate: str | None = None,
+    rot_planes: tuple[jax.Array, jax.Array] | None = None,
+    rowed: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -1103,9 +1183,40 @@ def fengine_fused(
     ``(qr, qi)`` int8 ``[..., n_spectra, n_channels]`` planes.
     """
     n_taps, fft_size = window.shape
-    if coarse_delays is None:
+    assert n_channels == fft_size // 2
+    n = fft_size // 2
+    deint, n1, n2 = _deint_mode(n, deint)
+    if rowed:
+        # Wire-rowed input: the stream arrives ALREADY shaped
+        # [..., rows, N2] — the kernel's own HBM view. The flat/4-d
+        # forms below are logically equivalent but physically tiled
+        # differently on TPU, so their in-step reshape materialises a
+        # relayout COPY of the whole multi-GB stream every step
+        # (measured +15.1 ms at the flagship config,
+        # benchmarks/dma_bisect.py 2026-08-21: born-rowed 7.75 ms DMA
+        # row vs 22.8/23.2 for 4-d/flat-born). Ingest paths upload
+        # host bytes straight into this shape for free.
+        if deint != "ct":
+            raise ValueError("rowed input needs the direct-CT form")
+        *lead, rows_in, n2f = frames.shape
+        if n2f != n2:
+            raise ValueError(
+                f"rowed input minor dim must be N2={n2}, got {n2f}"
+            )
+        if coarse_delays is None:
+            if rows_in % n1:
+                raise ValueError("rowed input rows must be a multiple of N1")
+            n_frames = rows_in // n1
+            n_spectra = n_frames - n_taps + 1
+            n_in = None
+        else:
+            if n_spectra is None:
+                raise ValueError("coarse_delays requires n_spectra")
+            n_in = rows_in * n2
+            n_frames = n_spectra + n_taps - 1
+    elif coarse_delays is None:
         *lead, n_frames, f = frames.shape
-        assert f == fft_size and n_channels == fft_size // 2
+        assert f == fft_size
         n_spectra = n_frames - n_taps + 1
         n_in = None
     else:
@@ -1116,12 +1227,9 @@ def fengine_fused(
         if n_spectra is None:
             raise ValueError("coarse_delays requires n_spectra")
         *lead, n_in = frames.shape
-        assert n_channels == fft_size // 2
         n_frames = n_spectra + n_taps - 1
     if n_channels_total is None:
         n_channels_total = n_channels
-    n = fft_size // 2
-    deint, n1, n2 = _deint_mode(n, deint)
     if coarse_delays is not None and deint != "ct":
         raise ValueError("in-kernel coarse delay needs the direct-CT form")
     if rolling and deint != "ct":
@@ -1189,6 +1297,11 @@ def fengine_fused(
                 "(k >= 2) and composes with neither fir_tapouter="
                 "'slab' nor ct_xpipe"
             )
+    if rot_planes is not None and deint != "ct":
+        raise ValueError(
+            "rot_planes (cached fine-rotation planes) cover the "
+            "direct-CT kernel form only"
+        )
     if _ablate is not None:
         # Bench-only diagnostic stops (benchmarks/f_diag.py): truncate
         # the kernel after a named stage so its marginal cost can be
@@ -1215,21 +1328,28 @@ def fengine_fused(
     # Output plane layout: k = k2·(lane count) + k1, i.e. a row-major
     # arange over [out_rows, out_lanes].
     out_rows, out_lanes = (n2 // 2, n1) if deint == "ct" else (n2, n1)
-    fd = jnp.broadcast_to(
-        jnp.asarray(frac_delay, jnp.float32), tuple(lead)
-    ).reshape(batch, 1, 1)
-    ph = jnp.broadcast_to(jnp.asarray(phase, jnp.float32), tuple(lead)).reshape(
-        batch, 1, 1
-    )
-    k = (
-        jnp.arange(n_channels, dtype=jnp.float32).reshape(out_rows, out_lanes)
-        + channel_offset
-    )
-    rot = -jnp.pi * fd * (k - n_channels_total / 2.0) / n_channels_total + ph
-    # Requant gain folded into the rotation planes: two fewer VPU
-    # multiplies per output sample in the kernel epilogues.
-    rotc = jnp.cos(rot) * quant_scale
-    rots = jnp.sin(rot) * quant_scale
+    if rot_planes is not None:
+        # Caller-cached planes (fine_rotation_planes): the 2·B·C-element
+        # cos/sin grid recomputed per step was measured at ~14 ms/step
+        # at the flagship config (f_diag nofd_* rows, 2026-08-21) —
+        # delays change at the 256-accumulation cadence, so production
+        # engines hoist the planes to the delay-update path.
+        rotc, rots = rot_planes
+        rotc = jnp.asarray(rotc, jnp.float32).reshape(
+            batch, out_rows, out_lanes
+        )
+        rots = jnp.asarray(rots, jnp.float32).reshape(
+            batch, out_rows, out_lanes
+        )
+    else:
+        rotc, rots = _rotation_planes(
+            frac_delay, phase, lead, out_rows, out_lanes,
+            n_channels=n_channels, quant_scale=quant_scale,
+            channel_offset=channel_offset,
+            n_channels_total=n_channels_total,
+        )
+        rotc = rotc.reshape(batch, out_rows, out_lanes)
+        rots = rots.reshape(batch, out_rows, out_lanes)
     rot_spec = pl.BlockSpec(
         (1, out_rows, out_lanes), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
     )
@@ -1280,24 +1400,31 @@ def fengine_fused(
                     f"in-kernel coarse delay needs >= {need * n2} samples "
                     f"({(need - n_frames * n1) * n2} margin), got {n_in}"
                 )
-            if n_in % n2:
-                # The partial trailing row must be sliced off, and XLA
-                # materialises the slice as a copy of the WHOLE stream
-                # every step (~1.5 GB ≈ 4 ms at the flagship config) —
-                # see ingest_alignment(). Loud, because the copy is
-                # invisible in profiles that only look at the kernel.
-                import warnings
+            if rowed:
+                fr = frames.reshape(batch, n_rows_total, n2)
+            else:
+                if n_in % n2:
+                    # The partial trailing row must be sliced off, and
+                    # XLA materialises the slice as a copy of the WHOLE
+                    # stream every step (~1.5 GB ≈ 4 ms at the flagship
+                    # config) — see ingest_alignment(). Loud, because
+                    # the copy is invisible in kernel-only profiles.
+                    import warnings
 
-                warnings.warn(
-                    f"ADC stream length {n_in} is not a multiple of "
-                    f"N2={n2}; the pre-kernel slice copies the whole "
-                    "stream each step. Provision margins per "
-                    "ingest_alignment() to make this free.",
-                    stacklevel=2,
+                    warnings.warn(
+                        f"ADC stream length {n_in} is not a multiple of "
+                        f"N2={n2}; the pre-kernel slice copies the whole "
+                        "stream each step. Provision margins per "
+                        "ingest_alignment() to make this free.",
+                        stacklevel=2,
+                    )
+                # Layout note: this reshape of a FLAT-born stream is a
+                # whole-stream relayout copy on TPU (+15 ms flagship,
+                # benchmarks/dma_bisect.py); pass rowed=True with a
+                # born-[rows, N2] stream to make it free.
+                fr = frames[..., : n_rows_total * n2].reshape(
+                    batch, n_rows_total, n2
                 )
-            fr = frames[..., : n_rows_total * n2].reshape(
-                batch, n_rows_total, n2
-            )
             cd = jnp.broadcast_to(
                 jnp.asarray(coarse_delays, jnp.int32), tuple(lead)
             ).reshape(batch)

@@ -357,6 +357,78 @@ def test_bfuse_and_skew_gates_are_loud():
         )
 
 
+def test_rowed_input_matches_flat():
+    """Wire-rowed input ([..., rows, N2], the kernel's own HBM view) is
+    the same bytes in the layout the kernel DMAs — bit-identical to the
+    flat/4-d forms, minus the per-step whole-stream relayout copy those
+    forms pay on TPU (measured −25.7 ms at the flagship config,
+    benchmarks/dma_bisect.py + f_diag rowed rows, 2026-08-21)."""
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import _deint_mode
+
+    _, n1, n2 = _deint_mode(C)
+    frames, fd, ph = _inputs(47)
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, deint="ct", ct_batch_a=True, rolling=True,
+        ct_pipeline=2,
+    )
+    base = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **kw,
+    )
+    a, p = frames.shape[:2]
+    rowed = fengine_fused(
+        jnp.asarray(frames.reshape(a, p, -1, n2)), default_window(TAPS, F),
+        jnp.asarray(fd), jnp.asarray(ph), rowed=True, **kw,
+    )
+    for got, ref in zip(rowed, base):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # coarse path: flat stream vs born-rowed stream
+    rng = np.random.default_rng(49)
+    margin = 8192
+    n_in = (S + TAPS - 1) * F + margin
+    raw = rng.integers(-64, 64, (a, p, n_in), dtype=np.int8)
+    cd = rng.integers(0, 512, (a, p)).astype(np.int32)
+    ckw = dict(coarse_delays=jnp.asarray(cd), n_spectra=S, **kw)
+    ref = fengine_fused(
+        jnp.asarray(raw), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **ckw,
+    )
+    got = fengine_fused(
+        jnp.asarray(raw.reshape(a, p, -1, n2)), default_window(TAPS, F),
+        jnp.asarray(fd), jnp.asarray(ph), rowed=True, **ckw,
+    )
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_cached_rot_planes_match_inline():
+    """fine_rotation_planes fed back via rot_planes= is bit-identical to
+    the inline per-step computation (same function, hoisted to the
+    delay-update cadence)."""
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import fine_rotation_planes
+
+    frames, fd, ph = _inputs(53)
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, deint="ct", ct_batch_a=True,
+    )
+    base = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **kw,
+    )
+    planes = fine_rotation_planes(
+        jnp.asarray(fd), jnp.asarray(ph), n_channels=C, quant_scale=SCALE
+    )
+    got = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), rot_planes=planes, **kw,
+    )
+    for g, r in zip(got, base):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 def test_unquantised_f32_output_matches_composed_path():
     """quantise=False (the qualification output mode) ships the rotated
     f32 planes — must equal the composed XLA chain before requant."""
