@@ -55,17 +55,28 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
     # the flagship geometry) so nonzero 8-aligned DMA row offsets are
     # genuinely exercised by the measured path.
     budget = 4096
+    rowed = False
     if fengine != "xla":
-        from dpdk_dc_sand_tpu.ops.fengine_pallas import coarse_margin_samples
+        from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+            coarse_margin_samples,
+            ingest_alignment,
+        )
 
         slack = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, fb.ct_batch_a,
             fb.fengine_s_blk,
         )
         margin = (slack or 0) + budget
+        # Wire-rowed ingest (the production feed's upload shape): the
+        # stream is born [A, P, rows, N2], deleting the per-step
+        # whole-stream relayout (benchmarks/dma_bisect.py, −25.7 ms).
+        n2 = ingest_alignment(cfg.fft_size)
+        rowed = n2 is not None and (fb.samples_in + margin) % n2 == 0
     else:
         margin = budget
-    adc, cd, fd, ph, dv = fb.example_inputs(margin=margin, delay_budget=budget)
+    adc, cd, fd, ph, dv = fb.example_inputs(
+        margin=margin, delay_budget=budget, rowed=rowed
+    )
     adc_d = jax.device_put(jnp.asarray(adc))
     cd_d, fd_d = jnp.asarray(cd), jnp.asarray(fd)
     ph_d = jnp.asarray(ph)
@@ -102,7 +113,7 @@ def build(cfg, n_spectra, fengine, bstage="planar", ct_batch_a=False,
                 else:
                     rot_n = rot_c
                 return (
-                    adc_c.at[0, 0, 0].add(probe.astype(jnp.int8)),
+                    adc_c.at[(0,) * adc_c.ndim].add(probe.astype(jnp.int8)),
                     fd_c + probe,
                     rot_n,
                     acc + probe,

@@ -1,0 +1,209 @@
+"""NODE_RATE.json — what one deployed EngineNode sustains end-to-end.
+
+The chip-side bench (bench.py) and the transport bench (UDP_RATE.json)
+measure their layers in isolation; this artifact measures the SYSTEM —
+UDP ingest → ring → DeviceFeed h2d → fused F+B step on the real chip →
+int8 beam egress over UDP — and decomposes the gap between the layers
+(the reference's ingest-rate framing,
+BeamformerCoefficientTest.cu:426-445).
+
+Geometry: scaled so one ADC chunk fits the 2-CPU loopback transport
+(the flagship chunk is ~2.8 GB — a 100 GbE fabric's job, not
+loopback's); the chip runs the same fused kernels either way, so the
+decomposition, not the absolute, is the artifact.
+
+Rows:
+- ``compute_only``   : chained-marginal step rate (no host path at all)
+- ``feed_compute``   : chunks submitted straight into the node's ring
+                       (ring + h2d + step; no wire)
+- ``udp_full``       : SPEAD-lite UDP ingest + step + int8 UDP beam
+                       egress, paced at the measured sustainable rate
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/node_rate_bench.py
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import time
+
+import numpy as np
+
+CFG = dict(n_ants=16, n_channels=4096, n_beams=8, n_taps=8)
+N_SPECTRA = 64
+DURATION_S = 20.0
+
+
+def compute_only_msps() -> float:
+    import bench
+
+    from dpdk_dc_sand_tpu.config import ArrayConfig
+
+    cfg = ArrayConfig(**CFG)
+    return bench.measure(cfg, N_SPECTRA, "fused", bstage="auto",
+                         ct_batch_a=True, beam_layout="split")
+
+
+async def run_node(mode: str, duration_s: float, pace_s: float | None):
+    """One node run; returns stats dict. mode: 'ring' or 'udp'."""
+    import jax  # noqa: F401  (device init before threads)
+
+    from dpdk_dc_sand_tpu.config import ArrayConfig
+    from dpdk_dc_sand_tpu.engine_node import EngineNode
+    from dpdk_dc_sand_tpu.stream.chunk import Chunk
+    from dpdk_dc_sand_tpu.stream.ring import ChunkRing
+    from dpdk_dc_sand_tpu.stream.udp import UdpReceiver, UdpSender
+
+    cfg = ArrayConfig(**CFG)
+    node = EngineNode(cfg, n_spectra=N_SPECTRA, beam_quant_scale=0.25)
+    await node.start()
+    beams_out = [0]
+    beam_rx = beam_ring = None
+    if mode == "udp":
+        beam_ring = ChunkRing(32, 64 << 20)
+        beam_rx = UdpReceiver(("127.0.0.1", 0), beam_ring).start()
+        node.attach_udp_egress(("127.0.0.1", beam_rx.port))
+
+        adc_rx = node.attach_udp_ingest(("127.0.0.1", 0))
+        tx = UdpSender(("127.0.0.1", adc_rx.port))
+    else:
+        node.on_beams = lambda beams, seq: beams_out.__setitem__(
+            0, beams_out[0] + 1
+        )
+
+    rng = np.random.default_rng(7)
+    adc = rng.integers(-64, 64, size=node.chunk_shape, dtype=np.int8)
+    payload = adc.ravel().view(np.uint8)
+    chunk_bytes = payload.nbytes
+
+    # Warm the compiled step (first chunk pays the trace/compile).
+    if mode == "udp":
+        tx.send_chunk(Chunk(payload=payload, seq=0, timestamp=0,
+                            channel_offset=0))
+    else:
+        node.submit_chunk(adc, 0)
+    t0 = time.time()
+    while int(node.s_processed.value) < 1 and time.time() - t0 < 300:
+        await asyncio.sleep(0.05)
+    compile_s = time.time() - t0
+
+    p0 = int(node.s_processed.value)
+    sent = 0
+    t0 = time.perf_counter()
+    loop = asyncio.get_event_loop()
+    while time.perf_counter() - t0 < duration_s:
+        if mode == "udp":
+            await loop.run_in_executor(
+                None, tx.send_chunk,
+                Chunk(payload=payload, seq=sent + 1, timestamp=sent + 1,
+                      channel_offset=0),
+            )
+        else:
+            # Blocking submit: retry while the ring is full (the ring's
+            # drop accounting is for *wire* overrun; here we measure
+            # steady-state capacity, so we apply backpressure).
+            while not node.submit_chunk(adc, sent + 1):
+                await asyncio.sleep(0.001)
+        sent += 1
+        if pace_s:
+            lag = t0 + sent * pace_s - time.perf_counter()
+            if lag > 0:
+                await asyncio.sleep(lag)
+    # drain
+    t_end = time.perf_counter()
+    for _ in range(200):
+        if int(node.s_processed.value) - p0 >= sent:
+            break
+        await asyncio.sleep(0.05)
+    processed = int(node.s_processed.value) - p0
+    lost = int(node.s_lost.value) if hasattr(node, "s_lost") else None
+    elapsed = t_end - t0
+    ring_drops = int(node.ring.stats()[2])
+    await node.stop()
+    if beam_rx is not None:
+        beam_rx.stop()
+        beam_ring.close()
+    samples = cfg.n_ants * cfg.n_pols * N_SPECTRA * cfg.fft_size
+    return {
+        "mode": mode,
+        "pace_s": pace_s,
+        "duration_s": round(elapsed, 2),
+        "chunk_bytes": chunk_bytes,
+        "chunks_sent": sent,
+        "chunks_processed": processed,
+        "chunks_unprocessed": sent - processed,
+        "ring_drops": ring_drops,
+        "heaps_lost": lost,
+        "compile_s": round(compile_s, 1),
+        "msamples_per_s": round(processed * samples / elapsed / 1e6, 1),
+        "ingest_gbps": round(processed * chunk_bytes * 8 / elapsed / 1e9, 2),
+    }
+
+
+def main() -> None:
+    from dpdk_dc_sand_tpu.config import ArrayConfig
+
+    cfg = ArrayConfig(**CFG)
+    samples = cfg.n_ants * cfg.n_pols * N_SPECTRA * cfg.fft_size
+
+    comp = compute_only_msps()
+    print(json.dumps({"row": "compute_only", "msamples_per_s": round(comp, 1)}),
+          flush=True)
+
+    ring_row = asyncio.run(run_node("ring", DURATION_S, None))
+    print(json.dumps(ring_row), flush=True)
+
+    # UDP: first blast to find the sustainable rate, then pace at 90%.
+    blast = asyncio.run(run_node("udp", DURATION_S / 2, None))
+    print(json.dumps(blast), flush=True)
+    sustain = blast["chunks_processed"] / blast["duration_s"]
+    pace = 1.0 / (0.9 * sustain) if sustain > 0 else None
+    paced = asyncio.run(run_node("udp", DURATION_S, pace))
+    print(json.dumps(paced), flush=True)
+
+    artifact = {
+        "config": {**CFG, "n_spectra": N_SPECTRA,
+                   "chunk_samples": samples,
+                   "beam_egress": "int8 (beam_quant_scale=0.25)"},
+        "environment": "single axon TPU v5e chip via relay; 2-CPU host; "
+        "UDP loopback (SPEAD-lite); flagship chunks (~2.8 GB) need a "
+        "real 100 GbE fabric, so the node runs a scaled geometry — the "
+        "decomposition is the artifact",
+        "rows": {
+            "compute_only_msps": round(comp, 1),
+            "feed_compute": ring_row,
+            "udp_blast": blast,
+            "udp_paced": paced,
+        },
+        "gap_decomposition": {
+            "compute_only_msps": round(comp, 1),
+            "feed_compute_msps": ring_row["msamples_per_s"],
+            "udp_paced_msps": paced["msamples_per_s"],
+            "feed_overhead_pct": round(
+                100 * (1 - ring_row["msamples_per_s"] / comp), 1
+            ),
+            "transport_overhead_pct": round(
+                100
+                * (
+                    1
+                    - paced["msamples_per_s"]
+                    / max(ring_row["msamples_per_s"], 1e-9)
+                ),
+                1,
+            ),
+            "note": "compute→feed gap = ring+h2d+python dispatch; "
+            "feed→udp gap = loopback SPEAD transport (CPU-bound on "
+            "this host; scales with NIC/queues in deployment)",
+        },
+    }
+    out = os.path.join(os.path.dirname(__file__), "NODE_RATE.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+        f.write("\n")
+    print(f"# wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

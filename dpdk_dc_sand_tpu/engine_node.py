@@ -163,6 +163,27 @@ class EngineNode(DeviceServer):
                 self.dma_slack = total - margin
                 self.margin = margin = total
         self.chunk_shape = (cfg.n_ants, cfg.n_pols, self.fb.samples_in + margin)
+        # Wire-rowed upload: when the chunk length is a multiple of the
+        # kernel's ingest alignment (the slack rounding above ensures it
+        # on the fast path), device_put the chunk bytes straight into
+        # the fused kernel's [A, P, rows, N2] HBM view — same h2d
+        # transfer, but the engine step then skips the per-step
+        # whole-stream relayout a flat-born array pays
+        # (benchmarks/dma_bisect.py, −25.7 ms at the flagship config).
+        from dpdk_dc_sand_tpu.ops.fengine_pallas import ingest_alignment
+
+        align = ingest_alignment(cfg.fft_size)
+        if (
+            getattr(self.fb, "fengine", "xla") != "xla"
+            and align
+            and self.chunk_shape[-1] % align == 0
+        ):
+            self.chunk_shape = (
+                cfg.n_ants,
+                cfg.n_pols,
+                self.chunk_shape[-1] // align,
+                align,
+            )
         chunk_bytes = int(np.prod(self.chunk_shape))
         # +16 headroom for the UDP receiver's timestamp/channel metadata
         # prefix (UdpReceiver._deliver) when ingest is attached over UDP.

@@ -158,6 +158,7 @@ class FBEngine:
         fengine_tapouter: bool | str = False,
         fengine_bfuse: bool | str = False,
         fengine_skew: bool = False,
+        fengine_native_handoff: bool | str = "auto",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -220,6 +221,38 @@ class FBEngine:
         self.fengine_tapouter = fengine_tapouter
         self.fengine_bfuse = fengine_bfuse
         self.fengine_skew = fengine_skew
+        if fengine_native_handoff == "auto":
+            # Native F->B plane handoff: the F kernel keeps its own
+            # [S, rows, lanes] plane layout and the corner-turn kernel
+            # slices it directly, skipping the [rows, lanes] -> [C]
+            # merge between the kernels. Measured NEUTRAL at the
+            # flagship config (38.2 vs 38.8 Gs/s full step, 2026-08-21
+            # — unlike the ingest side, XLA folds the F-output merge
+            # into the consumer cheaply), so auto resolves OFF; the
+            # implementation stays behind the knob (equivalence-tested)
+            # for geometries where the merge does materialise.
+            fengine_native_handoff = False
+        if fengine_native_handoff:
+            from dpdk_dc_sand_tpu.ops.corner_turn import (
+                corner_turn_native_supported,
+            )
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import _deint_mode
+
+            mode, nn1, nn2 = _deint_mode(cfg.n_channels)
+            if not (
+                fengine in ("fused", "fused_f32")
+                and bstage == "turned"
+                and mode == "ct"
+                and corner_turn_native_supported(
+                    cfg.n_ants, cfg.n_pols, n_spectra, nn2 // 2, nn1
+                )
+            ):
+                raise ValueError(
+                    "fengine_native_handoff needs the fused direct-CT F "
+                    "kernel with the turned B stage on a supported "
+                    "geometry"
+                )
+        self.fengine_native_handoff = bool(fengine_native_handoff)
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.quant_scale = quant_scale
@@ -267,6 +300,7 @@ class FBEngine:
                 fengine_tapouter=fengine_tapouter,
                 fengine_bfuse=fengine_bfuse,
                 fengine_skew=fengine_skew,
+                planes_native=self.fengine_native_handoff,
             )
         )
         self.beam_layout = beam_layout
@@ -390,7 +424,8 @@ class FBEngine:
         )
 
     def example_inputs(
-        self, seed: int = 2021, margin: int = 64, delay_budget: int | None = None
+        self, seed: int = 2021, margin: int = 64,
+        delay_budget: int | None = None, rowed: bool = False,
     ):
         """Random inputs sized for one step.
 
@@ -401,6 +436,14 @@ class FBEngine:
         ``margin=slack+budget, delay_budget=budget`` — drawing delays
         from the whole margin would exceed the true headroom and be
         silently clipped by the kernel's q8/residual clamps.
+
+        ``rowed=True`` returns the ADC stream pre-shaped
+        ``[A, P, rows, N2]`` (the wire-rowed ingest layout — a free host
+        reshape here, and the shape device_put tiles directly): the
+        fused F kernel then skips the per-step whole-stream relayout a
+        flat stream pays (benchmarks/dma_bisect.py). Requires
+        ``samples_in + margin`` to be a multiple of the kernel's ingest
+        alignment (see :func:`ops.fengine_pallas.ingest_alignment`).
         """
         rng = np.random.default_rng(seed)
         cfg = self.cfg
@@ -408,6 +451,16 @@ class FBEngine:
             -64, 64, size=(cfg.n_ants, cfg.n_pols, self.samples_in + margin),
             dtype=np.int8,
         )
+        if rowed:
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import ingest_alignment
+
+            n2 = ingest_alignment(cfg.fft_size)
+            if n2 is None or adc.shape[-1] % n2:
+                raise ValueError(
+                    "rowed example inputs need an N2-aligned stream "
+                    "length (geometry must take the direct-CT kernel)"
+                )
+            adc = adc.reshape(cfg.n_ants, cfg.n_pols, -1, n2)
         if delay_budget is None:
             delay_budget = margin
         cd = rng.integers(0, delay_budget, size=cfg.n_ants).astype(np.int32)
@@ -480,6 +533,7 @@ def _f_stage(
     fengine_bfuse: bool | str = False,
     fengine_skew: bool = False,
     rot_planes=None,
+    planes_native: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared F stage: coarse delay + PFB + fine delay + requantise.
 
@@ -487,6 +541,11 @@ def _f_stage(
     B stage(s) and (in the FXB engine) the correlator.
     """
     out_len = (n_spectra + cfg.n_taps - 1) * cfg.fft_size
+    #: Wire-rowed ingest: a 4-d ADC stream [A, P, rows, N2] is the fused
+    #: kernel's own HBM view — born in that shape (free at device_put),
+    #: it skips the whole-stream relayout copy a flat stream pays every
+    #: step (−25.7 ms at the flagship config, benchmarks/dma_bisect.py).
+    rowed = adc.ndim == 4
     if fengine != "xla":
         # Single fused Pallas kernel: FIR + MXU rFFT + fine delay +
         # requant, int8 in / int8 out, no HBM intermediates (see
@@ -518,14 +577,15 @@ def _f_stage(
             # path): recomputing the 2*B*C cos/sin grid per step costs
             # ~14 ms at the flagship config (f_diag nofd_* rows).
             rot_planes=rot_planes,
+            planes_native=planes_native,
         )
         margin_need = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a, fengine_s_blk
         )
-        if (
-            margin_need is not None
-            and adc.shape[-1] >= out_len + margin_need
-        ):
+        samples = (
+            adc.shape[-2] * adc.shape[-1] if rowed else adc.shape[-1]
+        )
+        if margin_need is not None and samples >= out_len + margin_need:
             # Coarse delay folded into the kernel's DMA offsets + an
             # in-VMEM sub-row shift — the XLA alignment pass (a full
             # HBM rewrite via per-antenna dynamic slices, ~21 ms at the
@@ -539,15 +599,21 @@ def _f_stage(
                     coarse_delays[:, None], (cfg.n_ants, cfg.n_pols)
                 ),
                 n_spectra=n_spectra,
+                rowed=rowed,
                 **common,
             )
         else:
-            aligned = coarse_delay(adc, coarse_delays, out_len)
+            flat = (
+                adc.reshape(cfg.n_ants, cfg.n_pols, -1) if rowed else adc
+            )
+            aligned = coarse_delay(flat, coarse_delays, out_len)
             frames = aligned.reshape(
                 cfg.n_ants, cfg.n_pols, -1, cfg.fft_size
             )
             qr, qi = fengine_fused(frames, window, fd_b, ph_b, **common)
     else:
+        if rowed:
+            adc = adc.reshape(cfg.n_ants, cfg.n_pols, -1)
         aligned = coarse_delay(adc, coarse_delays, out_len)
         spectra = pfb_channelise(
             aligned, window, n_channels=cfg.n_channels, use_pallas=use_pallas
@@ -595,16 +661,40 @@ def _b_stage(
         # layout shuffle at the flagship config). Egress flattens bytes,
         # so production ships this layout.
         if bstage == "turned":
-            from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
+            if qr.ndim == 5:
+                # Native handoff: one per-plane turn (slicing the F
+                # kernel's own plane layout — no relayout copy) + the
+                # split-contraction beamform.
+                from dpdk_dc_sand_tpu.ops.beamform import (
+                    beamform_turned_split,
+                )
+                from dpdk_dc_sand_tpu.ops.corner_turn import (
+                    corner_turn_plane_native,
+                )
 
-            x_t = corner_turn_planes(qr, qi, interpret=fengine_interpret)
-            out = beamform_turned(
-                x_t,
-                coeff_blocks,
-                n_pols=cfg.n_pols,
-                precision=precision,
-                layout="natural",
-            )
+                xr_t = corner_turn_plane_native(
+                    qr, interpret=fengine_interpret
+                )
+                xi_t = corner_turn_plane_native(
+                    qi, interpret=fengine_interpret
+                )
+                out = beamform_turned_split(
+                    xr_t, xi_t, coeff_blocks, n_pols=cfg.n_pols,
+                    precision=precision, layout="natural",
+                )
+            else:
+                from dpdk_dc_sand_tpu.ops.corner_turn import (
+                    corner_turn_planes,
+                )
+
+                x_t = corner_turn_planes(qr, qi, interpret=fengine_interpret)
+                out = beamform_turned(
+                    x_t,
+                    coeff_blocks,
+                    n_pols=cfg.n_pols,
+                    precision=precision,
+                    layout="natural",
+                )
         elif bstage == "fused":
             # One-kernel corner turn + block-diagonal dot, packed
             # [C/pack, P·S, pack·2B] wire format (no unpack epilogue).
@@ -639,12 +729,25 @@ def _b_stage(
         # DMA tiling + Mosaic 8-bit in-VMEM transpose, ~390 GB/s vs
         # ~34 GB/s for the XLA turn) + one folded block-complex dot per
         # channel ----
-        from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
+        if qr.ndim == 5:
+            from dpdk_dc_sand_tpu.ops.beamform import beamform_turned_split
+            from dpdk_dc_sand_tpu.ops.corner_turn import (
+                corner_turn_plane_native,
+            )
 
-        x_t = corner_turn_planes(qr, qi, interpret=fengine_interpret)
-        beam_re, beam_im = beamform_turned(
-            x_t, coeff_blocks, n_pols=cfg.n_pols, precision=precision
-        )
+            xr_t = corner_turn_plane_native(qr, interpret=fengine_interpret)
+            xi_t = corner_turn_plane_native(qi, interpret=fengine_interpret)
+            beam_re, beam_im = beamform_turned_split(
+                xr_t, xi_t, coeff_blocks, n_pols=cfg.n_pols,
+                precision=precision,
+            )
+        else:
+            from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_planes
+
+            x_t = corner_turn_planes(qr, qi, interpret=fengine_interpret)
+            beam_re, beam_im = beamform_turned(
+                x_t, coeff_blocks, n_pols=cfg.n_pols, precision=precision
+            )
     elif bstage == "folded":
         # ---- B-engine: explicit int8 corner-turn copy + one folded
         # block-complex dot per channel (M = P·S) ----
@@ -693,6 +796,7 @@ def _fb_step(
     fengine_bfuse: bool | str = False,
     fengine_skew: bool = False,
     rot_planes=None,
+    planes_native: bool = False,
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -715,6 +819,7 @@ def _fb_step(
         fengine_bfuse=fengine_bfuse,
         fengine_skew=fengine_skew,
         rot_planes=rot_planes,
+        planes_native=planes_native,
     )
     return _b_stage(
         qr,

@@ -272,6 +272,45 @@ def beamform_turned(
     return beam_re, beam_im
 
 
+@functools.partial(jax.jit, static_argnames=("n_pols", "precision", "layout"))
+def beamform_turned_split(
+    xr_t: jax.Array,
+    xi_t: jax.Array,
+    blocks: jax.Array,
+    n_pols: int = 2,
+    precision: str = "bf16",
+    layout: str = "split",
+) -> tuple[jax.Array, jax.Array] | jax.Array:
+    """:func:`beamform_turned` over per-plane turned operands.
+
+    The native F→B handoff keeps the fused kernel's (re, im) planes
+    separate end-to-end (one ``[C, A, P·S]`` turn per plane,
+    :func:`~dpdk_dc_sand_tpu.ops.corner_turn.corner_turn_plane_native`),
+    so the folded contraction splits into its re/im halves:
+    ``out = xr·W[:A] + xi·W[A:]`` — identical MACs and f32 accumulation
+    as the single ``[C, 2A, ·]`` dot, one extra add per output.
+    """
+    c, a, m = xr_t.shape
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    prec = None if precision == "bf16" else lax.Precision.HIGHEST
+    w = blocks.astype(dt)
+    dims = (((1,), (1,)), ((0,), (0,)))
+    out = lax.dot_general(
+        xr_t.astype(dt), w[:, :a], dims, precision=prec,
+        preferred_element_type=jnp.float32,
+    ) + lax.dot_general(
+        xi_t.astype(dt), w[:, a:], dims, precision=prec,
+        preferred_element_type=jnp.float32,
+    )  # [C, P·S, 2B]
+    if layout == "natural":
+        return out
+    nb = blocks.shape[-1] // 2
+    out = out.reshape(c, n_pols, m // n_pols, 2 * nb)
+    beam_re = jnp.transpose(out[..., :nb], (1, 0, 2, 3))
+    beam_im = jnp.transpose(out[..., nb:], (1, 0, 2, 3))
+    return beam_re, beam_im
+
+
 @functools.partial(jax.jit, static_argnames=("precision",))
 def beamform_planes_folded(
     qr: jax.Array,

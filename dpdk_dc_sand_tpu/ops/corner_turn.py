@@ -100,6 +100,84 @@ def _kernel_full(qr_ref, qi_ref, out_ref, *, a, p, s, c_blk):
     out_ref[:, a : 2 * a, :] = turn(xi)
 
 
+#: Plane rows per native-handoff channel block (8 full-lane rows of the
+#: F kernel's [out_rows, out_lanes] plane = 8·out_lanes contiguous
+#: channels — Pallas block shapes need the sublane dim 8-divisible).
+_NATIVE_ROWS = 8
+
+
+def corner_turn_native_supported(
+    n_ants: int, n_pols: int, n_spectra: int, out_rows: int, out_lanes: int
+) -> bool:
+    """Whether the 5-d native-handoff path takes this geometry: full
+    plane rows are channel-contiguous, so blocks are 8-row slabs; the
+    lane count must tile by 128 and the spectra axis by the chunk."""
+    return (
+        out_lanes % 128 == 0
+        and n_spectra % _S_CHUNK == 0
+        and out_rows % _NATIVE_ROWS == 0
+        and (n_ants % 8 == 0 or n_ants < 8)
+    )
+
+
+def _kernel_plane_native(q_ref, out_ref, *, a_blk, s_chunk, c_blk):
+    """Per-(channel-slab, ant-block, pol, spectra-chunk) step, 5-d
+    native input: the channel block is an 8-row full-lane slab of the F
+    kernel's [out_rows, out_lanes] plane (channel k = row·lanes + lane,
+    row-major — consecutive rows are contiguous channels)."""
+    x = q_ref[:, 0]  # [a_blk, s_chunk, 8, L] int8
+    t = x.reshape(a_blk * s_chunk, c_blk).T
+    out_ref[...] = t.reshape(c_blk, a_blk, s_chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def corner_turn_plane_native(
+    q: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Turn ONE fused-kernel-native plane ``[A, P, S, rows, lanes]``
+    (``fengine_fused(planes_native=True)``) into ``[C, A, P·S]`` int8.
+
+    Slices the F kernel's own tiled output layout directly — the
+    ``[rows, lanes] → [C]`` merge a 4-d consumer forces is a relayout
+    copy of the whole int8 plane every step (the
+    benchmarks/dma_bisect.py cost class). One call per (re, im) plane;
+    feed the pair to
+    :func:`~dpdk_dc_sand_tpu.ops.beamform.beamform_turned_split`.
+    """
+    a, p, s, rows, lanes = q.shape
+    if not corner_turn_native_supported(a, p, s, rows, lanes):
+        raise ValueError(
+            f"native-handoff corner turn unsupported for {q.shape}"
+        )
+    c = rows * lanes
+    c_blk = _NATIVE_ROWS * lanes
+    a_blk = 8 if a % 8 == 0 else a
+    n_sb = s // _S_CHUNK
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_plane_native, a_blk=a_blk, s_chunk=_S_CHUNK, c_blk=c_blk
+        ),
+        grid=(c // c_blk, a // a_blk, p, n_sb),
+        in_specs=[
+            pl.BlockSpec(
+                (a_blk, 1, _S_CHUNK, _NATIVE_ROWS, lanes),
+                lambda cb, ab, pp, sb: (ab, pp, sb, cb, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (c_blk, a_blk, _S_CHUNK),
+            lambda cb, ab, pp, sb: (cb, ab, pp * n_sb + sb),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, a, p * s), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+        interpret=interpret,
+    )(q)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def corner_turn_planes(
     qr: jax.Array, qi: jax.Array, *, interpret: bool = False
@@ -110,7 +188,14 @@ def corner_turn_planes(
     ----------
     qr, qi:
         ``[A, P, S, C]`` (re, im) sample planes, int8 — the F-engine
-        output layout.
+        output layout — or the fused kernel's NATIVE 5-d
+        ``[A, P, S, out_rows, out_lanes]`` plane layout
+        (``fengine_fused(planes_native=True)``, channel
+        ``k = row·out_lanes + lane``). The 5-d form slices the F
+        output's own tiled layout directly, skipping the
+        [rows, lanes] → [C] relayout copy XLA inserts between the F
+        kernel and a 4-d consumer (benchmarks/dma_bisect.py class of
+        cost; both planes, multi-GB, per step).
 
     Returns
     -------
@@ -118,8 +203,14 @@ def corner_turn_planes(
     ``m = p·S + s`` — feed straight into
     :func:`~dpdk_dc_sand_tpu.ops.beamform.beamform_turned`.
     """
-    a, p, s, c = qr.shape
     assert qi.shape == qr.shape
+    if qr.ndim == 5:
+        raise ValueError(
+            "5-d native planes: use corner_turn_plane_native per plane "
+            "+ beamform_turned_split (the combined [C, 2A, ·] build "
+            "would re-copy both planes)"
+        )
+    a, p, s, c = qr.shape
     c_blk = min(_C_BLK, c)
     n_cb = c // c_blk
     out_shape = jax.ShapeDtypeStruct((c, 2 * a, p * s), jnp.int8)

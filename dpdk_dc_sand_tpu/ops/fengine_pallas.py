@@ -1126,6 +1126,7 @@ def fine_rotation_planes(
         "ct_skew",
         "_ablate",
         "rowed",
+        "planes_native",
     ),
 )
 def fengine_fused(
@@ -1157,6 +1158,7 @@ def fengine_fused(
     _ablate: str | None = None,
     rot_planes: tuple[jax.Array, jax.Array] | None = None,
     rowed: bool = False,
+    planes_native: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -1301,6 +1303,10 @@ def fengine_fused(
         raise ValueError(
             "rot_planes (cached fine-rotation planes) cover the "
             "direct-CT kernel form only"
+        )
+    if planes_native and deint != "ct":
+        raise ValueError(
+            "planes_native output covers the direct-CT kernel form only"
         )
     if _ablate is not None:
         # Bench-only diagnostic stops (benchmarks/f_diag.py): truncate
@@ -1615,6 +1621,16 @@ def fengine_fused(
                 compiler_params=compiler_params,
                 interpret=interpret,
             )(scal, fr, wina, *consts, rotc, rots)
+        if planes_native:
+            # Keep the kernel's own [*, S, N2/2, N1] plane layout
+            # (channel k = row·N1 + lane, row-major): the trailing
+            # [out_rows, out_lanes] -> [C] merge below is a TPU tiled-
+            # layout change, i.e. a relayout COPY of both multi-GB
+            # planes every step when a Pallas consumer reads the merged
+            # form. Native-handoff consumers (ops/corner_turn.py 5-d
+            # path) slice this layout directly.
+            shape5 = (*lead, n_spectra, out_rows, out_lanes)
+            return qr.reshape(shape5), qi.reshape(shape5)
         shape = (*lead, n_spectra, n_channels)
         return qr.reshape(shape), qi.reshape(shape)
 

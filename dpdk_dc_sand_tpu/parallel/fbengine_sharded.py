@@ -83,6 +83,7 @@ class ShardedFBEngine:
         fengine_tapouter: bool | str = False,
         fengine_bfuse: bool | str = False,
         fengine_skew: bool = False,
+        rowed_ingest: bool | str = "auto",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -172,6 +173,23 @@ class ShardedFBEngine:
         self.fengine_tapouter = fengine_tapouter
         self.fengine_bfuse = fengine_bfuse
         self.fengine_skew = fengine_skew
+        if rowed_ingest == "auto":
+            # Wire-rowed ingest (the fused kernel's own HBM view,
+            # [A, P, rows, N2]): on wherever the fused direct-CT kernel
+            # runs — a flat-born stream pays a whole-stream relayout
+            # copy per step (benchmarks/dma_bisect.py, -25.7 ms at the
+            # single-chip flagship).
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+                ingest_alignment,
+            )
+
+            n2a = ingest_alignment(cfg.fft_size)
+            rowed_ingest = (
+                fengine in ("fused", "fused_f32")
+                and n2a is not None
+                and ((cfg.n_taps - 1) * cfg.fft_size) % n2a == 0
+            )
+        self.rowed_ingest = bool(rowed_ingest)
         if cfg.n_ants % ant_size:
             raise ValueError("n_ants must divide the ant mesh axis")
         if cfg.n_channels % time_size or n_spectra % time_size:
@@ -261,18 +279,27 @@ class ShardedFBEngine:
             out_specs = (beam_out, P("time", None, None), P("time", None, None))
         else:
             out_specs = beam_out
-        sharded = shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(
-                P("ant", None, "time"),  # adc [A, P, N]
-                P("ant"),  # frac_delays [A]
-                P("ant"),  # phases [A]
-                P("time", None, "ant"),  # cos [C, B, A]
-                P("time", None, "ant"),  # sin [C, B, A]
-            ),
-            out_specs=out_specs,
-            check_vma=False,
+        def _make(adc_spec):
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    adc_spec,
+                    P("ant"),  # frac_delays [A]
+                    P("ant"),  # phases [A]
+                    P("time", None, "ant"),  # cos [C, B, A]
+                    P("time", None, "ant"),  # sin [C, B, A]
+                ),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+
+        # adc arrives either flat [A, P, N] or wire-rowed
+        # [A, P, rows, N2] (time-sharded on samples/rows respectively);
+        # __call__ dispatches on ndim.
+        sharded = _make(P("ant", None, "time"))
+        sharded_rowed = (
+            _make(P("ant", None, "time", None)) if self.rowed_ingest else None
         )
 
         # Steering planes are regenerated only on delay updates (the
@@ -290,7 +317,13 @@ class ShardedFBEngine:
         self._coeffs = None
         self._coeff_key = None
         self._step = jax.jit(sharded)
+        self._step_rowed = (
+            jax.jit(sharded_rowed) if sharded_rowed is not None else None
+        )
         self.sample_sharding = NamedSharding(mesh, P("ant", None, "time"))
+        self.sample_sharding_rowed = NamedSharding(
+            mesh, P("ant", None, "time", None)
+        )
         self.beam_sharding = NamedSharding(mesh, beam_out)
 
     @property
@@ -316,6 +349,13 @@ class ShardedFBEngine:
         """
         self.set_beam_delays(delay_vals, ant_weights=ant_weights, t_s=t_s)
         cos, sin = self._coeffs
+        if getattr(adc, "ndim", 3) == 4:
+            if self._step_rowed is None:
+                raise ValueError(
+                    "wire-rowed adc needs a fused direct-CT geometry "
+                    "(rowed_ingest resolved off for this engine)"
+                )
+            return self._step_rowed(adc, frac_delays, phases, cos, sin)
         return self._step(adc, frac_delays, phases, cos, sin)
 
     def set_beam_delays(self, delay_vals, ant_weights=None, t_s: float = 0.0) -> None:
@@ -338,12 +378,18 @@ class ShardedFBEngine:
             )
             self._coeff_key = key
 
-    def example_inputs(self, seed: int = 2021):
+    def example_inputs(self, seed: int = 2021, rowed: bool = False):
         rng = np.random.default_rng(seed)
         cfg = self.cfg
         adc = rng.integers(
             -64, 64, size=(cfg.n_ants, cfg.n_pols, self.samples_in), dtype=np.int8
         )
+        if rowed:
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import ingest_alignment
+
+            adc = adc.reshape(
+                cfg.n_ants, cfg.n_pols, -1, ingest_alignment(cfg.fft_size)
+            )
         fd = rng.uniform(-0.5, 0.5, cfg.n_ants).astype(np.float32)
         ph = (-np.pi * fd / 2).astype(np.float32)
         dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
@@ -384,8 +430,16 @@ def _sharded_fb_body(
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
-    halo = lax.ppermute(adc_l[..., -halo_len:], "time", perm)
-    ext = jnp.concatenate([halo, adc_l], axis=-1)
+    rowed = adc_l.ndim == 4
+    if rowed:
+        # Wire-rowed stream [A_loc, P, rows, N2]: the halo is whole
+        # rows (halo_len is a multiple of N2 for every ct geometry).
+        halo_rows = halo_len // adc_l.shape[-1]
+        halo = lax.ppermute(adc_l[..., -halo_rows:, :], "time", perm)
+        ext = jnp.concatenate([halo, adc_l], axis=-2)
+    else:
+        halo = lax.ppermute(adc_l[..., -halo_len:], "time", perm)
+        ext = jnp.concatenate([halo, adc_l], axis=-1)
 
     # 2. Local F-stage.
     if fengine != "xla":
@@ -396,7 +450,11 @@ def _sharded_fb_body(
         from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
 
         n_ants_loc = ext.shape[0]
-        frames = ext.reshape(n_ants_loc, cfg.n_pols, -1, cfg.fft_size)
+        frames = (
+            ext
+            if rowed
+            else ext.reshape(n_ants_loc, cfg.n_pols, -1, cfg.fft_size)
+        )
         qr, qi = fengine_fused(
             frames,
             window,
@@ -414,8 +472,11 @@ def _sharded_fb_body(
             fir_tapouter=fengine_tapouter,
             ct_bfuse=fengine_bfuse,
             ct_skew=fengine_skew,
+            rowed=rowed,
         )  # [A_loc, P, S_loc, C] int8 planes
     else:
+        if rowed:
+            ext = ext.reshape(*ext.shape[:2], -1)
         spectra = pfb_channelise(
             ext, window, n_channels=cfg.n_channels, use_pallas=use_pallas
         )  # [A_loc, P, S_loc, C]

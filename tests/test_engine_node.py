@@ -440,12 +440,17 @@ def test_default_margin_provisions_kernel_coarse_path():
     assert node.dma_slack >= need
     assert node.delay_budget == 64  # the constructor default, unchanged
     assert node.margin == node.delay_budget + node.dma_slack
-    # The exact condition _f_stage evaluates at trace time:
+    # The exact condition _f_stage evaluates at trace time (chunk_shape
+    # is wire-rowed [A, P, rows, N2] on the fused path, so the sample
+    # count is the trailing-dims product):
     out_len = (16 + cfg.n_taps - 1) * cfg.fft_size
-    assert node.chunk_shape[-1] >= out_len + need
-    # ...and the chunk length is ingest-aligned, so the kernel wrapper
-    # never pays the whole-stream slice copy (ingest_alignment()).
-    assert node.chunk_shape[-1] % ingest_alignment(cfg.fft_size) == 0
+    samples = int(np.prod(node.chunk_shape[2:]))
+    assert samples >= out_len + need
+    # ...and the chunk is born in the kernel's rowed ingest layout, so
+    # the step pays neither the slice copy nor the whole-stream
+    # relayout (ingest_alignment(); benchmarks/dma_bisect.py).
+    assert node.chunk_shape[-1] == ingest_alignment(cfg.fft_size)
+    assert len(node.chunk_shape) == 4
 
 
 def test_engine_opts_reach_the_engine_and_margin_math():

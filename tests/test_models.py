@@ -505,3 +505,30 @@ def test_steering_key_is_content_keyed():
     w2[1] = 0.5
     assert steering_key(a, w, 0.0) != steering_key(a, w2, 0.0)
     assert steering_key(a, w, 0.0) != steering_key(a, w, 1.0)
+
+
+def test_native_handoff_matches_flat_turned():
+    """fengine_native_handoff=True (per-plane corner turn slicing the F
+    kernel's own [rows, lanes] plane layout + split-contraction
+    beamform) matches the default turned path to f32-accumulation
+    tolerance (the split dot reassociates one add). Measured neutral at
+    the flagship config (2026-08-21) — kept behind the knob."""
+    import jax.numpy as jnp
+
+    from dpdk_dc_sand_tpu.config import ArrayConfig
+    from dpdk_dc_sand_tpu.models import FBEngine
+
+    cfg = ArrayConfig(n_ants=4, n_channels=8192, n_beams=4, n_taps=4)
+    common = dict(
+        cfg=cfg, n_spectra=128, precision="bf16", fengine="fused",
+        bstage="turned", fengine_interpret=True, ct_batch_a=True,
+        fengine_rolling=True, beam_layout="natural",
+    )
+    nat = FBEngine(fengine_native_handoff=True, **common)
+    ref = FBEngine(**common)
+    assert ref.fengine_native_handoff is False  # measured-neutral default
+    adc, cd, fd, ph, dv = nat.example_inputs(margin=4096, delay_budget=64)
+    args = tuple(jnp.asarray(x) for x in (adc, cd, fd, ph, dv))
+    got = np.asarray(nat(*args))
+    want = np.asarray(ref(*args))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
