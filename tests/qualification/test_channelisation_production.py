@@ -12,58 +12,25 @@ quantisation (int8 ADC), reported as evidence.
 
 import numpy as np
 
-from dpdk_dc_sand_tpu.golden.pfb import pfb_window
-
-LEAKAGE_SPEC_DB = -62.0
-
-C, TAPS, S = 512, 16, 8
-FFT = 2 * C
-K = 100
+from tests.qualification.chan_common import (
+    C,
+    FFT,
+    K,
+    LEAKAGE_SPEC_DB,
+    S,
+    TAPS,
+    fused_power,
+    load_onchip_report,
+    worst_leakage_db,
+)
 
 
 def _fused_power(dft_dtype: str) -> np.ndarray:
-    import jax.numpy as jnp
-
-    from dpdk_dc_sand_tpu.ops.fengine_pallas import fengine_fused
-
-    n_frames = S + TAPS - 1
-    n = np.arange(n_frames * FFT)
-    # TPDF-dithered 8-bit digitiser tone (standard ADC test practice):
-    # an undithered integer-frequency tone quantises into deterministic
-    # harmonics ~-58 dBc that would mask the filterbank; ±1-code
-    # triangular dither whitens the error to a flat ≈-71 dB/bin floor,
-    # below the -62 dB spec line.
-    rng = np.random.default_rng(2021)
-    dither = rng.uniform(-0.5, 0.5, n.size) + rng.uniform(-0.5, 0.5, n.size)
-    tone = np.clip(
-        np.round(120 * np.cos(2 * np.pi * K * n / FFT) + dither), -127, 127
-    ).astype(np.int8)
-    frames = tone.reshape(1, 1, n_frames, FFT)
-    zero = jnp.zeros((1, 1), jnp.float32)
-    fr, fi = fengine_fused(
-        jnp.asarray(frames),
-        jnp.asarray(np.asarray(pfb_window(TAPS, FFT))),
-        zero,
-        zero,
-        n_channels=C,
-        quant_scale=1.0,
-        dft_dtype=dft_dtype,
-        quantise=False,
-        interpret=True,
-    )
-    power = (
-        np.asarray(fr, np.float64) ** 2 + np.asarray(fi, np.float64) ** 2
-    )
-    # Average over spectra: tightens the dither-floor variance (the
-    # floor's expectation is set by the dither, not by averaging).
-    return power[0, 0].mean(axis=0)
+    return fused_power(dft_dtype, interpret=True)
 
 
 def _worst_leakage_db(power: np.ndarray) -> float:
-    rel_db = 10 * np.log10(power / power[K] + 1e-300)
-    mask = np.ones(C, bool)
-    mask[K] = False
-    return float(rel_db[mask].max())
+    return worst_leakage_db(power)
 
 
 def test_production_fused_bf16_leakage(report):
@@ -96,6 +63,25 @@ def test_production_fused_bf16_leakage(report):
         ),
     )
     report.detail_entry("leakage_margin_db", round(LEAKAGE_SPEC_DB - worst, 2))
+    onchip = load_onchip_report()
+    if onchip is not None:
+        # The COMPILED kernel's own measured number, produced on real
+        # TPU hardware by tests/tpu/test_ops_on_tpu.py::
+        # test_compiled_bf16_leakage_on_tpu and committed as
+        # reports/channelisation_compiled_onchip.json — the evidence
+        # chain does not rest on interpret mode alone.
+        report.step(
+            "And",
+            "the compiled (non-interpret) bf16 kernel measured the same "
+            "spec compliance on TPU hardware",
+            **{k: onchip[k] for k in (
+                "worst_leakage_db", "peak_channel", "platform", "date"
+            ) if k in onchip},
+        )
+        report.detail_entry(
+            "compiled_onchip_worst_leakage_db", onchip.get("worst_leakage_db")
+        )
+        assert onchip["worst_leakage_db"] <= LEAKAGE_SPEC_DB
     assert worst <= LEAKAGE_SPEC_DB
 
 

@@ -464,3 +464,53 @@ def test_tapouter_and_xpipe_bit_exact_on_tpu():
         vr, vi = fengine_fused(frames, w, zero, zero, **kw, **extra)
         assert float(jnp.abs(vr.astype(jnp.int32) - base_r).max()) == 0, name
         assert float(jnp.abs(vi.astype(jnp.int32) - base_i).max()) == 0, name
+
+
+def test_compiled_bf16_leakage_on_tpu():
+    """The COMPILED production bf16 kernel's channelisation leakage,
+    measured on real TPU hardware, meets the −62 dB spec — and the
+    measured number is emitted as the committed evidence artifact the
+    qualification report cites
+    (tests/qualification/reports/channelisation_compiled_onchip.json).
+    Same tone / kernel call / statistic as the interpret-mode
+    qualification (tests/qualification/chan_common.py); only
+    ``interpret`` differs, so any compiled-vs-interpret divergence
+    fails loudly here.
+    """
+    import datetime
+    import json
+
+    import jax
+
+    from tests.qualification.chan_common import (
+        K,
+        LEAKAGE_SPEC_DB,
+        ONCHIP_REPORT,
+        fused_power,
+        worst_leakage_db,
+    )
+
+    power = fused_power("bfloat16", interpret=False)
+    peak = int(np.argmax(power))
+    worst = worst_leakage_db(power)
+    assert peak == K
+    assert worst <= LEAKAGE_SPEC_DB, worst
+    ONCHIP_REPORT.parent.mkdir(parents=True, exist_ok=True)
+    with open(ONCHIP_REPORT, "w") as f:
+        json.dump(
+            {
+                "test": "test_compiled_bf16_leakage_on_tpu",
+                "platform": str(jax.devices()[0]),
+                "date": datetime.date.today().isoformat(),
+                "interpret": False,
+                "dft_dtype": "bfloat16",
+                "peak_channel": peak,
+                "worst_leakage_db": round(worst, 2),
+                "spec_db": LEAKAGE_SPEC_DB,
+                "note": "tone/kernel/statistic identical to the "
+                "interpret-mode qualification (chan_common.py)",
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
