@@ -213,24 +213,29 @@ def main() -> None:
     # chips (the reference's GPUs-per-ingest cost model,
     # BeamformerCoefficientTest.cu:441-448).
     streams = cfg.n_ants * cfg.n_pols
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "PFB+beamform pipeline throughput "
-                    f"({cfg.n_ants} ant x {cfg.n_channels} chan x "
-                    f"{cfg.n_beams} beams, 16-tap PFB)"
-                ),
-                "value": round(value, 1),
-                "unit": "Msamples/s/chip",
-                "vs_baseline": round(value / ADC_RATE_MSPS, 2),
-                "chips_per_instrument": round(
-                    streams * ADC_RATE_MSPS / value, 2
-                ),
-            }
+    record = {
+        "metric": (
+            "PFB+beamform pipeline throughput "
+            f"({cfg.n_ants} ant x {cfg.n_channels} chan x "
+            f"{cfg.n_beams} beams, 16-tap PFB)"
         ),
-        flush=True,
-    )
+        "value": round(value, 1),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(value / ADC_RATE_MSPS, 2),
+        "chips_per_instrument": round(streams * ADC_RATE_MSPS / value, 2),
+    }
+    # Score against the measured first-principles ceiling (ROOFLINE.json,
+    # benchmarks/roofline.py — the committed max of the HBM/MXU/VPU
+    # lower bounds at this geometry): "fast" as a judged number.
+    import os
+
+    rf = os.path.join(os.path.dirname(__file__), "ROOFLINE.json")
+    if os.path.exists(rf):
+        with open(rf) as f:
+            ceiling = json.load(f).get("ceiling_msamples_per_s")
+        if ceiling:
+            record["roofline_frac"] = round(value / ceiling, 3)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -123,14 +123,24 @@ def main() -> None:
         help="spectra sub-blocks for the interleaved model "
         "(ShardedFBEngine ici_chunks)",
     )
+    ap.add_argument(
+        "--source",
+        default=None,
+        help="provenance note for --step-ms (e.g. the bench run it came from)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     step_ms = args.step_ms
-    bench_src = "--step-ms"
+    bench_src = args.source or "--step-ms"
     if step_ms is None:
-        for name in ("BENCH_r03.json", "BENCH_r02.json", "BENCH_r01.json"):
+        import glob
+
+        for name in sorted(
+            (os.path.basename(b) for b in glob.glob(os.path.join(root, "BENCH_r0*.json"))),
+            reverse=True,
+        ):
             path = os.path.join(root, name)
             if os.path.exists(path):
                 with open(path) as f:
