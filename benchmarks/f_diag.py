@@ -179,6 +179,40 @@ VARIANTS = {
         taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96, rowed=True, ablate="dma",
     ),
+    # rowed x schedule levers: with the relayout floor gone, re-test the
+    # MXU-side schedules (all were within noise at the old 47 ms floor)
+    "rowed_bfuse": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True, bfuse=True,
+    ),
+    "rowed_bchunk": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True, bfuse="chunk",
+    ),
+    "rowed_skew": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True, skew=True,
+    ),
+    "rowed_pipe4": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=4, vmem_mb=96, rowed=True,
+    ),
+    "rowed_taps1": dict(
+        taps=1, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True,
+    ),
+    "rowed_abl_fir": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True, ablate="fir",
+    ),
+    "rowed_abl_stagea": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True, ablate="stagea",
+    ),
+    "rowed_abl_stageb": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True, ablate="stageb",
+    ),
     "abl_fir8s16": dict(
         taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96, ablate="fir",
