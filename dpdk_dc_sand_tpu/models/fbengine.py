@@ -159,6 +159,7 @@ class FBEngine:
         fengine_bfuse: bool | str = False,
         fengine_skew: bool = False,
         fengine_native_handoff: bool | str = "auto",
+        fengine_flat_out: bool | str = "auto",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -253,6 +254,29 @@ class FBEngine:
                     "geometry"
                 )
         self.fengine_native_handoff = bool(fengine_native_handoff)
+        if fengine_flat_out == "auto":
+            # In-kernel [batch, S, C] emission: the F kernel flattens
+            # each spectrum's [rows, lanes] plane in VMEM so its HBM
+            # output is already the B/X consumers' layout — no XLA
+            # relayout between the kernels. Auto-on wherever the
+            # quantised direct-CT kernel runs with an 8-divisible
+            # spectra block.
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+                _deint_mode,
+                _pick_s_blk,
+            )
+
+            blk = _pick_s_blk(
+                n_spectra,
+                fengine_s_blk or (8 if ct_batch_a else 16),
+            )
+            fengine_flat_out = (
+                fengine in ("fused", "fused_f32")
+                and not self.fengine_native_handoff
+                and _deint_mode(cfg.n_channels)[0] == "ct"
+                and blk % 8 == 0
+            )
+        self.fengine_flat_out = bool(fengine_flat_out)
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.quant_scale = quant_scale
@@ -301,6 +325,7 @@ class FBEngine:
                 fengine_bfuse=fengine_bfuse,
                 fengine_skew=fengine_skew,
                 planes_native=self.fengine_native_handoff,
+                flat_out=self.fengine_flat_out,
             )
         )
         self.beam_layout = beam_layout
@@ -534,6 +559,7 @@ def _f_stage(
     fengine_skew: bool = False,
     rot_planes=None,
     planes_native: bool = False,
+    flat_out: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared F stage: coarse delay + PFB + fine delay + requantise.
 
@@ -578,6 +604,7 @@ def _f_stage(
             # ~14 ms at the flagship config (f_diag nofd_* rows).
             rot_planes=rot_planes,
             planes_native=planes_native,
+            flat_out=flat_out,
         )
         margin_need = coarse_margin_samples(
             cfg.fft_size, cfg.n_taps, n_spectra, ct_batch_a, fengine_s_blk
@@ -797,6 +824,7 @@ def _fb_step(
     fengine_skew: bool = False,
     rot_planes=None,
     planes_native: bool = False,
+    flat_out: bool = False,
 ) -> jax.Array:
     qr, qi = _f_stage(
         adc,
@@ -820,6 +848,7 @@ def _fb_step(
         fengine_skew=fengine_skew,
         rot_planes=rot_planes,
         planes_native=planes_native,
+        flat_out=flat_out,
     )
     return _b_stage(
         qr,

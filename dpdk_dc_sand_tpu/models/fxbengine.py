@@ -74,6 +74,7 @@ class FXBEngine:
         fengine_tapouter: bool | str = False,
         fengine_bfuse: bool | str = False,
         fengine_skew: bool = False,
+        fengine_flat_out: bool | str = "auto",
     ) -> None:
         if vis_precision not in ("auto", "int8", "f32", "bf16"):
             raise ValueError(f"unknown vis_precision {vis_precision!r}")
@@ -113,6 +114,23 @@ class FXBEngine:
         self.fengine_tapouter = fengine_tapouter
         self.fengine_bfuse = fengine_bfuse
         self.fengine_skew = fengine_skew
+        if fengine_flat_out == "auto":
+            # Same resolution as FBEngine: consumer-layout emission
+            # wherever the quantised direct-CT kernel runs.
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+                _deint_mode,
+                _pick_s_blk,
+            )
+
+            blk = _pick_s_blk(
+                n_spectra, fengine_s_blk or (8 if ct_batch_a else 16)
+            )
+            fengine_flat_out = (
+                fengine in ("fused", "fused_f32")
+                and _deint_mode(cfg.n_channels)[0] == "ct"
+                and blk % 8 == 0
+            )
+        self.fengine_flat_out = bool(fengine_flat_out)
         self.cfg = cfg
         self.n_spectra = n_spectra
         self.window = jnp.asarray(np.asarray(pfb_window(cfg.n_taps, cfg.fft_size)))
@@ -147,6 +165,7 @@ class FXBEngine:
                 fengine_tapouter=fengine_tapouter,
                 fengine_bfuse=fengine_bfuse,
                 fengine_skew=fengine_skew,
+                fengine_flat_out=self.fengine_flat_out,
                 vis_precision=vis_precision,
             )
         )
@@ -226,6 +245,7 @@ def _fxb_step(
     fengine_tapouter: bool | str = False,
     fengine_bfuse: bool | str = False,
     fengine_skew: bool = False,
+    fengine_flat_out: bool = False,
     vis_precision: str = "int8",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     # ---- shared F stage (same code path as FBEngine) ----
@@ -249,6 +269,7 @@ def _fxb_step(
         fengine_tapouter=fengine_tapouter,
         fengine_bfuse=fengine_bfuse,
         fengine_skew=fengine_skew,
+        flat_out=fengine_flat_out,
     )  # [A, P, S, C] int8 planes
 
     # ---- B stage (same code path as FBEngine) ----

@@ -507,6 +507,7 @@ def _fengine_kernel_ct(
     b_fuse: bool | str = False,
     skew: bool = False,
     ablate: str | None = None,
+    flat_out: bool = False,
 ):
     """Direct-CT F-engine: FIR + half-output 2-stage DFT + delay + requant.
 
@@ -776,6 +777,16 @@ def _fengine_kernel_ct(
             return
         qr = jnp.clip(jnp.rint(outr), -127.0, 127.0)
         qi = jnp.clip(jnp.rint(outi), -127.0, 127.0)
+        if flat_out:
+            # Emit the spectrum as ONE [C] lane row: the in-VMEM
+            # [rows, lanes] -> [C] flatten (row-major = channel order)
+            # makes the kernel's HBM output the consumers' own
+            # [batch, S, C] layout — no XLA relayout between the F
+            # kernel and the B/X stages.
+            flat = (n2 // 2) * n1
+            outr_ref[0, si] = qr.astype(jnp.int8).reshape(flat)
+            outi_ref[0, si] = qi.astype(jnp.int8).reshape(flat)
+            return
         outr_ref[0, si] = qr.astype(jnp.int8)
         outi_ref[0, si] = qi.astype(jnp.int8)
 
@@ -1127,6 +1138,7 @@ def fine_rotation_planes(
         "_ablate",
         "rowed",
         "planes_native",
+        "flat_out",
     ),
 )
 def fengine_fused(
@@ -1159,6 +1171,7 @@ def fengine_fused(
     rot_planes: tuple[jax.Array, jax.Array] | None = None,
     rowed: bool = False,
     planes_native: bool = False,
+    flat_out: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FIR + rFFT + fine delay + int8 requant in one kernel.
 
@@ -1308,6 +1321,17 @@ def fengine_fused(
         raise ValueError(
             "planes_native output covers the direct-CT kernel form only"
         )
+    if flat_out:
+        if deint != "ct" or not quantise or planes_native or ct_xpipe:
+            raise ValueError(
+                "flat_out (in-kernel [batch, S, C] emission) needs the "
+                "quantised direct-CT form and composes with neither "
+                "planes_native nor ct_xpipe"
+            )
+        if _ablate is not None:
+            raise ValueError("flat_out does not compose with _ablate")
+        if s_blk % 8:
+            raise ValueError("flat_out needs s_blk % 8 == 0 (out tiling)")
     if _ablate is not None:
         # Bench-only diagnostic stops (benchmarks/f_diag.py): truncate
         # the kernel after a named stage so its marginal cost can be
@@ -1383,6 +1407,19 @@ def fengine_fused(
             jnp.int8 if quantise else jnp.float32,
         ),
     ) * 2
+    if flat_out:
+        # Consumer-layout emission: [batch, S, C] int8, flattened in
+        # VMEM per spectrum (see epilogue).
+        out_specs = (
+            pl.BlockSpec(
+                (1, s_blk, n_channels),
+                lambda b, s: (b, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ) * 2
+        out_shape = (
+            jax.ShapeDtypeStruct((batch, n_spectra, n_channels), jnp.int8),
+        ) * 2
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=(
@@ -1490,6 +1527,7 @@ def fengine_fused(
             b_fuse=ct_bfuse,
             skew=ct_skew,
             ablate=_ablate,
+            flat_out=flat_out,
         )
         if ct_xpipe:
             # Whole-batch output window: the cross-block carried tail
@@ -1604,6 +1642,14 @@ def fengine_fused(
                         ),
                     ) * 2
                     if ct_xpipe
+                    else (
+                        pl.BlockSpec(
+                            (1, s_blk, n_channels),
+                            lambda b, s, sr: (b, s, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ) * 2
+                    if flat_out
                     else (
                         pl.BlockSpec(
                             (1, s_blk, out_rows, out_lanes),

@@ -403,6 +403,37 @@ def test_rowed_input_matches_flat():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
+def test_flat_out_matches_planes():
+    """flat_out (the kernel flattening each spectrum's [rows, lanes]
+    plane in VMEM so HBM holds the consumers' [batch, S, C] layout) is
+    bit-identical to the plane output — the flatten is the row-major
+    channel order by construction."""
+    frames, fd, ph = _inputs(59)
+    kw = dict(
+        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        interpret=True, deint="ct", ct_batch_a=True, rolling=True,
+        ct_pipeline=2,
+    )
+    base = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), **kw,
+    )
+    got = fengine_fused(
+        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(ph), flat_out=True, **kw,
+    )
+    for g, r in zip(got, base):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="flat_out"):
+        fengine_fused(
+            jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+            jnp.asarray(ph), flat_out=True, quantise=False, **kw,
+        )
+
+
 def test_cached_rot_planes_match_inline():
     """fine_rotation_planes fed back via rot_planes= is bit-identical to
     the inline per-step computation (same function, hoisted to the
