@@ -262,8 +262,8 @@ class FBEngine:
             # quantised direct-CT kernel runs with an 8-divisible
             # spectra block.
             from dpdk_dc_sand_tpu.ops.fengine_pallas import (
-                _deint_mode,
                 _pick_s_blk,
+                flat_out_supported,
             )
 
             blk = _pick_s_blk(
@@ -273,7 +273,7 @@ class FBEngine:
             fengine_flat_out = (
                 fengine in ("fused", "fused_f32")
                 and not self.fengine_native_handoff
-                and _deint_mode(cfg.n_channels)[0] == "ct"
+                and flat_out_supported(cfg.n_channels)
                 and blk % 8 == 0
             )
         self.fengine_flat_out = bool(fengine_flat_out)

@@ -118,8 +118,8 @@ class FXBEngine:
             # Same resolution as FBEngine: consumer-layout emission
             # wherever the quantised direct-CT kernel runs.
             from dpdk_dc_sand_tpu.ops.fengine_pallas import (
-                _deint_mode,
                 _pick_s_blk,
+                flat_out_supported,
             )
 
             blk = _pick_s_blk(
@@ -127,7 +127,7 @@ class FXBEngine:
             )
             fengine_flat_out = (
                 fengine in ("fused", "fused_f32")
-                and _deint_mode(cfg.n_channels)[0] == "ct"
+                and flat_out_supported(cfg.n_channels)
                 and blk % 8 == 0
             )
         self.fengine_flat_out = bool(fengine_flat_out)

@@ -219,6 +219,18 @@ def pipeline_auto_k(n_spectra: int, n_channels: int) -> int:
     return 0
 
 
+def flat_out_supported(n_channels: int) -> bool:
+    """Whether the in-kernel consumer-layout emission applies here.
+
+    The per-spectrum ``[rows, lanes] → [C]`` flatten is a Mosaic
+    sublane→lane shape cast, which only lowers for full-lane planes
+    (``lanes % 128 == 0``) — narrow-lane geometries fail with
+    "infer-vector-layout: unsupported shape cast" (found by the on-chip
+    suite at C=512, lanes=8)."""
+    mode, n1, _ = _deint_mode(n_channels)
+    return mode == "ct" and n1 % 128 == 0
+
+
 def rolling_supported(n_channels: int) -> bool:
     """Whether the rolling bf16 FIR-history ring applies here.
 
@@ -1332,6 +1344,12 @@ def fengine_fused(
             raise ValueError("flat_out does not compose with _ablate")
         if s_blk % 8:
             raise ValueError("flat_out needs s_blk % 8 == 0 (out tiling)")
+        if n1 % 128:
+            raise ValueError(
+                "flat_out needs full-lane planes (out_lanes % 128 == 0; "
+                "see flat_out_supported) — Mosaic's sublane->lane shape "
+                "cast does not lower for narrow-lane geometries"
+            )
     if _ablate is not None:
         # Bench-only diagnostic stops (benchmarks/f_diag.py): truncate
         # the kernel after a named stage so its marginal cost can be

@@ -407,19 +407,28 @@ def test_flat_out_matches_planes():
     """flat_out (the kernel flattening each spectrum's [rows, lanes]
     plane in VMEM so HBM holds the consumers' [batch, S, C] layout) is
     bit-identical to the plane output — the flatten is the row-major
-    channel order by construction."""
-    frames, fd, ph = _inputs(59)
+    channel order by construction. Needs a full-lane geometry
+    (flat_out_supported: out_lanes % 128 == 0 — the module's C=512 has
+    8-lane planes, which Mosaic's shape cast rejects on chip)."""
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import flat_out_supported
+
+    c, f, taps, s = 8192, 16384, 4, 16
+    assert flat_out_supported(c) and not flat_out_supported(C)
+    rng = np.random.default_rng(59)
+    frames = rng.integers(-64, 64, (2, 2, s + taps - 1, f), dtype=np.int8)
+    fd = rng.uniform(-0.5, 0.5, (2, 2)).astype(np.float32)
+    ph = (-np.pi * fd / 2).astype(np.float32)
     kw = dict(
-        n_channels=C, quant_scale=SCALE, dft_dtype="bfloat16",
+        n_channels=c, quant_scale=SCALE, dft_dtype="bfloat16",
         interpret=True, deint="ct", ct_batch_a=True, rolling=True,
         ct_pipeline=2,
     )
     base = fengine_fused(
-        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(frames), default_window(taps, f), jnp.asarray(fd),
         jnp.asarray(ph), **kw,
     )
     got = fengine_fused(
-        jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+        jnp.asarray(frames), default_window(taps, f), jnp.asarray(fd),
         jnp.asarray(ph), flat_out=True, **kw,
     )
     for g, r in zip(got, base):
@@ -429,8 +438,17 @@ def test_flat_out_matches_planes():
 
     with pytest.raises(ValueError, match="flat_out"):
         fengine_fused(
-            jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
+            jnp.asarray(frames), default_window(taps, f), jnp.asarray(fd),
             jnp.asarray(ph), flat_out=True, quantise=False, **kw,
+        )
+    # narrow-lane geometry: loud gate, not a silent fallback
+    nf = _inputs(61)[0]
+    with pytest.raises(ValueError, match="full-lane"):
+        fengine_fused(
+            jnp.asarray(nf), default_window(TAPS, F),
+            jnp.zeros((A, P), jnp.float32), jnp.zeros((A, P), jnp.float32),
+            n_channels=C, quant_scale=SCALE, interpret=True, deint="ct",
+            ct_batch_a=True, flat_out=True,
         )
 
 
