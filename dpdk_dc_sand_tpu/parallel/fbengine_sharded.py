@@ -84,6 +84,7 @@ class ShardedFBEngine:
         fengine_bfuse: bool | str = False,
         fengine_skew: bool = False,
         rowed_ingest: bool | str = "auto",
+        fengine_flat_out: bool | str = "auto",
     ) -> None:
         if fengine not in ("auto", "xla", "fused", "fused_f32"):
             raise ValueError(f"unknown fengine backend {fengine!r}")
@@ -190,6 +191,24 @@ class ShardedFBEngine:
                 and ((cfg.n_taps - 1) * cfg.fft_size) % n2a == 0
             )
         self.rowed_ingest = bool(rowed_ingest)
+        if fengine_flat_out == "auto":
+            # Same consumer-layout emission as the single-chip engines
+            # (full-lane geometries only; flat_out_supported).
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
+                _pick_s_blk,
+                flat_out_supported,
+            )
+
+            blk = _pick_s_blk(
+                n_spectra // max(time_size, 1),
+                fengine_s_blk or (8 if bool(ct_batch_a) else 16),
+            )
+            fengine_flat_out = (
+                fengine in ("fused", "fused_f32")
+                and flat_out_supported(cfg.n_channels)
+                and blk % 8 == 0
+            )
+        self.fengine_flat_out = bool(fengine_flat_out)
         if cfg.n_ants % ant_size:
             raise ValueError("n_ants must divide the ant mesh axis")
         if cfg.n_channels % time_size or n_spectra % time_size:
@@ -264,6 +283,7 @@ class ShardedFBEngine:
             fengine_tapouter=fengine_tapouter,
             fengine_bfuse=fengine_bfuse,
             fengine_skew=fengine_skew,
+            fengine_flat_out=self.fengine_flat_out,
         )
         # With scatter_beams the antenna reduction is a reduce_scatter
         # (psum_scatter): half the ICI bytes of the all-reduce and the
@@ -427,6 +447,7 @@ def _sharded_fb_body(
     fengine_tapouter: bool | str = False,
     fengine_bfuse: bool | str = False,
     fengine_skew: bool = False,
+    fengine_flat_out: bool = False,
 ) -> jax.Array:
     # 1. Overlap-save halo: previous time shard's tail (circular).
     perm = [(i, (i + 1) % time_size) for i in range(time_size)]
@@ -473,6 +494,7 @@ def _sharded_fb_body(
             ct_bfuse=fengine_bfuse,
             ct_skew=fengine_skew,
             rowed=rowed,
+            flat_out=fengine_flat_out,
         )  # [A_loc, P, S_loc, C] int8 planes
     else:
         if rowed:
