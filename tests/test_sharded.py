@@ -402,3 +402,30 @@ def test_sharded_visibilities_fused_kernel_path(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(vim_f), np.asarray(vim_w), rtol=1e-5, atol=0.5
     )
+
+
+def test_rowed_ingest_matches_flat_sharded():
+    """Wire-rowed adc ([A, P, rows, N2], dispatched to the rowed
+    shard_map with whole-row halo exchange) equals the flat-stream step
+    exactly — same bytes, born in the kernel's HBM view."""
+    from dpdk_dc_sand_tpu.ops.fengine_pallas import ingest_alignment
+
+    mesh = make_mesh(8, shape=(2, 4))
+    cfg = ArrayConfig(n_ants=8, n_channels=512, n_beams=4, n_taps=4)
+    eng = ShardedFBEngine(
+        cfg, mesh, n_spectra=16, fengine="fused_f32", fengine_interpret=True
+    )
+    assert eng.rowed_ingest
+    adc, fd, ph, dv = eng.example_inputs()
+    want = np.asarray(eng(adc, fd, ph, dv))
+    n2 = ingest_alignment(cfg.fft_size)
+    rowed = adc.reshape(cfg.n_ants, cfg.n_pols, -1, n2)
+    got = np.asarray(eng(rowed, fd, ph, dv))
+    np.testing.assert_array_equal(got, want)
+    # engines without the fused form refuse rowed input loudly
+    import pytest
+
+    xla = ShardedFBEngine(cfg, mesh, n_spectra=16, fengine="xla")
+    assert not xla.rowed_ingest
+    with pytest.raises(ValueError, match="rowed"):
+        xla(rowed, fd, ph, dv)
