@@ -201,6 +201,21 @@ VARIANTS = {
         taps=1, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96, rowed=True,
     ),
+    "rowed_s32": dict(
+        taps=16, batch_a=True, s_blk=32, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True,
+    ),
+    "rowed_s32p16": dict(
+        taps=16, batch_a=True, s_blk=32, coarse="kernel", rolling=True,
+        pipeline=16, vmem_mb=96, rowed=True,
+    ),
+    # rolling off: the ring's per-step pl.when regions are scheduling
+    # barriers (round-4 finding); the plain sliding window re-DMAs
+    # (taps-1)/s_blk more input but has ONE unconditional DMA + convert
+    "rowed_noroll": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", pipeline=8,
+        vmem_mb=96, rowed=True,
+    ),
     "rowed_abl_fir": dict(
         taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
         pipeline=8, vmem_mb=96, rowed=True, ablate="fir",
