@@ -212,6 +212,14 @@ VARIANTS = {
     # rolling off: the ring's per-step pl.when regions are scheduling
     # barriers (round-4 finding); the plain sliding window re-DMAs
     # (taps-1)/s_blk more input but has ONE unconditional DMA + convert
+    "rowed_fine": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=8, vmem_mb=96, rowed=True, skew="fine",
+    ),
+    "rowed_fine4": dict(
+        taps=16, batch_a=True, s_blk=16, coarse="kernel", rolling=True,
+        pipeline=4, vmem_mb=96, rowed=True, skew="fine",
+    ),
     "rowed_noroll": dict(
         taps=16, batch_a=True, s_blk=16, coarse="kernel", pipeline=8,
         vmem_mb=96, rowed=True,

@@ -517,7 +517,7 @@ def _fengine_kernel_ct(
     tap_outer: bool = False,
     slab: bool = False,
     b_fuse: bool | str = False,
-    skew: bool = False,
+    skew: bool | str = False,
     ablate: str | None = None,
     flat_out: bool = False,
 ):
@@ -988,6 +988,29 @@ def _fengine_kernel_ct(
 
                 return
 
+            if skew == "fine":
+                # Fine interleave: chunk j+1's per-spectrum FIR slabs
+                # (VPU) are issued BETWEEN chunk j's per-spectrum
+                # stage-B dots (MXU), one si at a time — co-issue
+                # material for an in-order scheduler whose window is
+                # too small for the whole-chunk rotation. Same ops at
+                # the same rounding points — bit-exact.
+                fir_chunk(accbs[0], 0, per)
+                for j in range(kway):
+                    trd, tid = head_chunk(accbs[j], j * per, (j + 1) * per)
+                    if j + 1 < kway:
+                        nxt = accbs[j + 1]
+                        for m in range(per):
+                            nxt[:, m * n2 : (m + 1) * n2] = fir(
+                                (j + 1) * per + m
+                            ).astype(nxt.dtype)
+                            s2 = slice(m * n2, (m + 1) * n2)
+                            re, im = stage_b(trd[:, s2], tid[:, s2])
+                            epilogue(j * per + m, re, im)
+                    else:
+                        btail_chunk(trd, tid, j * per, (j + 1) * per)
+                return
+
             if skew:
                 # Skewed schedule: chunk j's stage-B/epilogue is issued
                 # AFTER chunk j+1's stage-A dots, so the MXU sees
@@ -1178,7 +1201,7 @@ def fengine_fused(
     rolling_dtype: str = "bfloat16",
     fir_tapouter: bool | str = False,
     ct_bfuse: bool | str = False,
-    ct_skew: bool = False,
+    ct_skew: bool | str = False,
     _ablate: str | None = None,
     rot_planes: tuple[jax.Array, jax.Array] | None = None,
     rowed: bool = False,
@@ -1323,6 +1346,11 @@ def fengine_fused(
                 "ct_skew needs the chunked ct_pipeline schedule "
                 "(k >= 2) and composes with neither fir_tapouter="
                 "'slab' nor ct_xpipe"
+            )
+        if ct_skew == "fine" and (fir_tapouter or ct_bfuse == "chunk"):
+            raise ValueError(
+                "ct_skew='fine' (per-spectrum interleave) composes "
+                "with neither fir_tapouter nor ct_bfuse='chunk'"
             )
     if rot_planes is not None and deint != "ct":
         raise ValueError(

@@ -319,6 +319,7 @@ def test_bchunk_and_skew_match_pipelined():
         dict(ct_bfuse="chunk"),
         dict(ct_skew=True),
         dict(ct_bfuse="chunk", ct_skew=True),
+        dict(ct_skew="fine"),
     ):
         got = fengine_fused(
             jnp.asarray(frames), default_window(TAPS, F), jnp.asarray(fd),
