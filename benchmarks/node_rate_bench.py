@@ -217,6 +217,17 @@ def main() -> None:
     paced = asyncio.run(run_node("udp", DURATION_S, pace))
     print(json.dumps(paced), flush=True)
 
+    # Projection: the same node on a production host path (PCIe-class
+    # ~10 GB/s h2d+d2h instead of the relay's measured ~34 MB/s):
+    # per-chunk = compute + chunk upload + beam download, serialised
+    # (conservative: DeviceFeed prefetch overlaps uploads in practice).
+    chunk_b = int(np.prod(
+        [CFG["n_ants"], 2, (N_SPECTRA + CFG["n_taps"] - 1) * 2 * CFG["n_channels"]]
+    ))
+    pcie = 10e9
+    t_proj = samples / (comp * 1e6) + chunk_b / pcie + beams_bytes / pcie
+    proj_msps = samples / t_proj / 1e6
+
     artifact = {
         "config": {**CFG, "n_spectra": N_SPECTRA,
                    "chunk_samples": samples,
@@ -231,6 +242,12 @@ def main() -> None:
             "feed_compute": ring_row,
             "udp_blast": blast,
             "udp_paced": paced,
+        },
+        "projected_production_host": {
+            "assumption": "PCIe-class ~10 GB/s host<->device path "
+            "(serialised, no prefetch overlap — conservative)",
+            "msamples_per_s": round(proj_msps, 1),
+            "fraction_of_compute_only": round(proj_msps / comp, 3),
         },
         "gap_decomposition": {
             "compute_only_msps": round(comp, 1),
