@@ -261,20 +261,14 @@ class FBEngine:
             # relayout between the kernels. Auto-on wherever the
             # quantised direct-CT kernel runs with an 8-divisible
             # spectra block.
-            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
-                _pick_s_blk,
-                flat_out_supported,
-            )
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import flat_out_auto
 
-            blk = _pick_s_blk(
-                n_spectra,
-                fengine_s_blk or (8 if ct_batch_a else 16),
-            )
             fengine_flat_out = (
                 fengine in ("fused", "fused_f32")
                 and not self.fengine_native_handoff
-                and flat_out_supported(cfg.n_channels)
-                and blk % 8 == 0
+                and flat_out_auto(
+                    cfg.n_channels, n_spectra, fengine_s_blk, ct_batch_a
+                )
             )
         self.fengine_flat_out = bool(fengine_flat_out)
         self.cfg = cfg
@@ -402,10 +396,11 @@ class FBEngine:
 
         Like the steering blocks, the planes depend only on the delay
         solution (updated at the 256-accumulation cadence), so they are
-        content-keyed and regenerated only when the values change —
-        recomputing the 2·B·C-element cos/sin grid inside every step
-        measured ~14 ms at the flagship config (f_diag nofd_* rows,
-        2026-08-21). Bit-identical output (same computation, hoisted).
+        content-keyed and regenerated only when the values change.
+        Measured NEUTRAL at the flagship config (f_diag nofd_* rows,
+        2026-08-21 — XLA hoists the per-step recompute); kept because
+        hoisting to the update path is production-correct and free.
+        Bit-identical output (same computation, hoisted).
         ``None`` (inline computation) for the XLA F stage and
         geometries without the direct-CT kernel.
         """

@@ -117,18 +117,12 @@ class FXBEngine:
         if fengine_flat_out == "auto":
             # Same resolution as FBEngine: consumer-layout emission
             # wherever the quantised direct-CT kernel runs.
-            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
-                _pick_s_blk,
-                flat_out_supported,
-            )
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import flat_out_auto
 
-            blk = _pick_s_blk(
-                n_spectra, fengine_s_blk or (8 if ct_batch_a else 16)
-            )
-            fengine_flat_out = (
-                fengine in ("fused", "fused_f32")
-                and flat_out_supported(cfg.n_channels)
-                and blk % 8 == 0
+            fengine_flat_out = fengine in (
+                "fused", "fused_f32"
+            ) and flat_out_auto(
+                cfg.n_channels, n_spectra, fengine_s_blk, bool(ct_batch_a)
             )
         self.fengine_flat_out = bool(fengine_flat_out)
         self.cfg = cfg

@@ -219,6 +219,21 @@ def pipeline_auto_k(n_spectra: int, n_channels: int) -> int:
     return 0
 
 
+def flat_out_auto(
+    n_channels: int,
+    n_spectra: int,
+    s_blk: int | None,
+    ct_batch_a: bool,
+) -> bool:
+    """Shared engine-side resolution for ``fengine_flat_out="auto"``:
+    True iff the quantised direct-CT kernel would run with an
+    8-divisible spectra block on a full-lane geometry. One owner for
+    the s_blk-default coupling with the kernel (``default_blk``) so the
+    three engines cannot drift from the kernel's gate."""
+    blk = _pick_s_blk(n_spectra, s_blk or (8 if ct_batch_a else _S_BLK_MAX))
+    return flat_out_supported(n_channels) and blk % 8 == 0
+
+
 def flat_out_supported(n_channels: int) -> bool:
     """Whether the in-kernel consumer-layout emission applies here.
 
@@ -1125,10 +1140,11 @@ def fine_rotation_planes(
     Returns ``(rotc, rots)`` f32 ``[*lead, C/2-rows, lanes]`` planes for
     :func:`fengine_fused`'s ``rot_planes=`` input. Production engines
     call this on the delay-update path (the 256-accumulation cadence,
-    BeamformerParameters.h:17) and feed the cached planes to every step:
-    recomputing the 2·B·C-element cos/sin grid per step was measured at
-    ~14 ms/step at the flagship config. Bit-identical to the inline
-    computation (same function).
+    BeamformerParameters.h:17) and feed the cached planes to every
+    step. Measured NEUTRAL at the flagship config (XLA hoists the
+    per-step recompute; f_diag nofd_* rows 2026-08-21) — kept because
+    hoisting is production-correct and free. Bit-identical to the
+    inline computation (same function).
 
     Only valid for geometries the direct-CT kernel takes (the production
     fast path); raises otherwise.
@@ -1405,11 +1421,12 @@ def fengine_fused(
     # arange over [out_rows, out_lanes].
     out_rows, out_lanes = (n2 // 2, n1) if deint == "ct" else (n2, n1)
     if rot_planes is not None:
-        # Caller-cached planes (fine_rotation_planes): the 2·B·C-element
-        # cos/sin grid recomputed per step was measured at ~14 ms/step
-        # at the flagship config (f_diag nofd_* rows, 2026-08-21) —
-        # delays change at the 256-accumulation cadence, so production
-        # engines hoist the planes to the delay-update path.
+        # Caller-cached planes (fine_rotation_planes): delays change at
+        # the 256-accumulation cadence, so production engines hoist the
+        # plane computation to the delay-update path. Measured NEUTRAL
+        # at the flagship config (f_diag nofd_* rows, 2026-08-21 — XLA
+        # hoists/overlaps the recompute); kept because it is
+        # production-correct and free.
         rotc, rots = rot_planes
         rotc = jnp.asarray(rotc, jnp.float32).reshape(
             batch, out_rows, out_lanes

@@ -184,29 +184,26 @@ class ShardedFBEngine:
                 ingest_alignment,
             )
 
+            # (fft_size is always a multiple of N2 in ct form, so the
+            # halo is whole rows by construction — asserted again where
+            # halo_rows is computed in _sharded_fb_body.)
             n2a = ingest_alignment(cfg.fft_size)
             rowed_ingest = (
-                fengine in ("fused", "fused_f32")
-                and n2a is not None
-                and ((cfg.n_taps - 1) * cfg.fft_size) % n2a == 0
+                fengine in ("fused", "fused_f32") and n2a is not None
             )
         self.rowed_ingest = bool(rowed_ingest)
         if fengine_flat_out == "auto":
             # Same consumer-layout emission as the single-chip engines
             # (full-lane geometries only; flat_out_supported).
-            from dpdk_dc_sand_tpu.ops.fengine_pallas import (
-                _pick_s_blk,
-                flat_out_supported,
-            )
+            from dpdk_dc_sand_tpu.ops.fengine_pallas import flat_out_auto
 
-            blk = _pick_s_blk(
+            fengine_flat_out = fengine in (
+                "fused", "fused_f32"
+            ) and flat_out_auto(
+                cfg.n_channels,
                 n_spectra // max(time_size, 1),
-                fengine_s_blk or (8 if bool(ct_batch_a) else 16),
-            )
-            fengine_flat_out = (
-                fengine in ("fused", "fused_f32")
-                and flat_out_supported(cfg.n_channels)
-                and blk % 8 == 0
+                fengine_s_blk,
+                bool(ct_batch_a),
             )
         self.fengine_flat_out = bool(fengine_flat_out)
         if cfg.n_ants % ant_size:
@@ -232,10 +229,34 @@ class ShardedFBEngine:
                 ant_size * time_size > 1
                 and not (emit_planes or emit_visibilities)
             ):
+                from dpdk_dc_sand_tpu.ops.bstage_pallas import (
+                    bstage_fused_supported,
+                )
+                from dpdk_dc_sand_tpu.ops.corner_turn import (
+                    corner_turn_supported,
+                )
+
+                a_loc = cfg.n_ants // max(ant_size, 1)
+                c_loc = cfg.n_channels // max(time_size, 1)
                 for k in (8, 4, 2):
-                    if per_dev % k == 0 and per_dev // k >= 1:
-                        ici_chunks = k
-                        break
+                    if per_dev % k or per_dev // k < 1:
+                        continue
+                    # The per-chunk B stage sees S/k spectra — the
+                    # bstage resolution validated the MONOLITHIC S, so
+                    # an auto k must re-check the chunked geometry or a
+                    # working config would start failing Mosaic
+                    # lowering under the new default (review round 5).
+                    s_chunk = n_spectra // k
+                    if bstage == "turned" and not corner_turn_supported(
+                        a_loc, cfg.n_pols, s_chunk, c_loc
+                    ):
+                        continue
+                    if bstage == "fused" and not bstage_fused_supported(
+                        a_loc, cfg.n_pols, s_chunk, cfg.n_beams, c_loc
+                    ):
+                        continue
+                    ici_chunks = k
+                    break
         self.ici_chunks = int(ici_chunks)
         if self.ici_chunks < 1:
             raise ValueError("ici_chunks must be >= 1")
@@ -407,9 +428,14 @@ class ShardedFBEngine:
         if rowed:
             from dpdk_dc_sand_tpu.ops.fengine_pallas import ingest_alignment
 
-            adc = adc.reshape(
-                cfg.n_ants, cfg.n_pols, -1, ingest_alignment(cfg.fft_size)
-            )
+            n2 = ingest_alignment(cfg.fft_size)
+            if n2 is None or not self.rowed_ingest:
+                raise ValueError(
+                    "rowed example inputs need the fused direct-CT "
+                    "geometry (rowed_ingest resolved off for this "
+                    "engine)"
+                )
+            adc = adc.reshape(cfg.n_ants, cfg.n_pols, -1, n2)
         fd = rng.uniform(-0.5, 0.5, cfg.n_ants).astype(np.float32)
         ph = (-np.pi * fd / 2).astype(np.float32)
         dv = np.zeros((cfg.n_beams, cfg.n_ants, 4), np.float32)
@@ -454,7 +480,9 @@ def _sharded_fb_body(
     rowed = adc_l.ndim == 4
     if rowed:
         # Wire-rowed stream [A_loc, P, rows, N2]: the halo is whole
-        # rows (halo_len is a multiple of N2 for every ct geometry).
+        # rows (halo_len is a multiple of N2 for every ct geometry —
+        # truncation here would silently corrupt the overlap-save halo).
+        assert halo_len % adc_l.shape[-1] == 0, (halo_len, adc_l.shape)
         halo_rows = halo_len // adc_l.shape[-1]
         halo = lax.ppermute(adc_l[..., -halo_rows:, :], "time", perm)
         ext = jnp.concatenate([halo, adc_l], axis=-2)

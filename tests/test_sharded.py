@@ -429,3 +429,25 @@ def test_rowed_ingest_matches_flat_sharded():
     assert not xla.rowed_ingest
     with pytest.raises(ValueError, match="rowed"):
         xla(rowed, fd, ph, dv)
+
+
+def test_ici_chunks_auto_respects_chunked_turn_geometry():
+    """ici_chunks='auto' must not pick a k whose per-chunk corner turn
+    is an unsupported Pallas geometry: the bstage resolution validates
+    the MONOLITHIC spectra count, so the auto k re-checks S/k (review
+    round 5 — a working turned config would otherwise fail Mosaic
+    lowering under the new default)."""
+    from dpdk_dc_sand_tpu.ops.corner_turn import corner_turn_supported
+
+    mesh = make_mesh(4, shape=(2, 2))
+    cfg = ArrayConfig(n_ants=8, n_channels=1024, n_beams=4, n_taps=4)
+    eng = ShardedFBEngine(
+        cfg, mesh, n_spectra=128, bstage="turned", fengine_interpret=True
+    )
+    k = eng.ici_chunks
+    if k > 1:
+        assert corner_turn_supported(
+            cfg.n_ants // 2, cfg.n_pols, 128 // k, cfg.n_channels // 2
+        ), k
+    # k=8 would give 16-spectra chunks (unsupported turn geometry)
+    assert k != 8
